@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is single-JVM (driver-only); on a real cluster the same configs
+apply, plus ``spark-submit --py-files mpnsm_spark.zip``. UTC session timezone
+is pinned so results compare bit-for-bit against DuckDB/pandas oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mpnsm_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to the core
+    count: on local mode 200 shuffle partitions just adds task-scheduling
+    overhead; on a real cluster callers pass an explicit value sized so each
+    shuffle partition holds ~128-256 MB.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound the pandas frames entering applyInPandas so a group's Arrow
+        # batches never blow executor memory (SURVEY.md §4 spill-to-disk note).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
