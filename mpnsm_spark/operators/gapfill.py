@@ -1,0 +1,98 @@
+"""Gap-fill: dense per-conversation grid + LOCF / NOCB / linear interpolation.
+
+Reference semantics re-expressed Spark-first (SURVEY.md §2.5 W5/W6, §2.3 J2):
+
+- dense grid = ``pd.date_range`` + left merge in the reference
+  (``/root/reference/mpnsm/time_series/forecast.py:435-444``) → here
+  ``F.sequence(min, max, interval)`` + ``explode`` + left join;
+- LOCF = pandas ``ffill`` (``model.py:357-359``) →
+  ``F.last(col, ignorenulls=True)`` over an unbounded-preceding frame;
+- NOCB head fill = pandas ``bfill`` (``model.py:250``) →
+  ``F.first(col, ignorenulls=True)`` over an unbounded-following frame;
+- linear interpolation (the one gap-fill piece the reference lacks; pandas
+  ``interpolate(limit_direction='both')`` oracle): closed-form column math
+  between the nearest non-null anchors on each side, LOCF/NOCB at the ends.
+
+Everything is pure Spark SQL — window functions + expressions, whole-stage
+codegen, no UDFs.
+
+Scale notes (100 TB): the grid explode is bounded per conversation by its
+lifetime / tier resolution; the join back to tier rows is an equi-join on
+(conv_id, bucket_start) that AQE plans after the (small) per-conv extent agg.
+The ordered windows partition by conv_id — fine for the tier tables (already
+~10^2-10^4× smaller than raw turns). For a pathological multi-year 1m-tier
+conversation, cap the grid with ``max_buckets_per_conv``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mpnsm_spark import TIER_SECONDS
+
+
+def gapfill(
+    tier_df: DataFrame,
+    tier: str,
+    value_col: str = "value_avg",
+    max_buckets_per_conv: int | None = None,
+) -> DataFrame:
+    """Dense (conv_id, bucket_start) grid with LOCF + linear gap-fill.
+
+    Output: conv_id, bucket_start, is_gap, value_locf, value_linear
+    (FIXTURES.md §3).
+    """
+    step = TIER_SECONDS[tier]
+    extent = tier_df.groupBy("conv_id").agg(
+        F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
+    )
+    if max_buckets_per_conv is not None:
+        extent = extent.withColumn(
+            "b1",
+            F.least(
+                F.col("b1"),
+                F.timestamp_seconds(
+                    F.unix_timestamp("b0") + F.lit(step * (max_buckets_per_conv - 1))
+                ),
+            ),
+        )
+    grid = extent.select(
+        "conv_id",
+        F.explode(
+            F.sequence("b0", "b1", F.expr(f"INTERVAL {step} SECOND"))
+        ).alias("bucket_start"),
+    )
+
+    vals = tier_df.select(
+        "conv_id", "bucket_start", F.col(value_col).alias("_v")
+    )
+    dense = grid.join(vals, ["conv_id", "bucket_start"], "left")
+
+    w = Window.partitionBy("conv_id").orderBy("bucket_start")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+    next_v = F.first("_v", ignorenulls=True).over(w_next)
+    anchor_ts = F.when(F.col("_v").isNotNull(), F.unix_timestamp("bucket_start"))
+    prev_t = F.last(anchor_ts, ignorenulls=True).over(w_prev)
+    next_t = F.first(anchor_ts, ignorenulls=True).over(w_next)
+    t = F.unix_timestamp("bucket_start")
+
+    locf = F.coalesce(prev_v, next_v)  # ffill then head bfill
+    linear = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        )
+        .otherwise(locf)  # ends: LOCF/NOCB fallback (limit_direction='both')
+    )
+    return dense.select(
+        "conv_id",
+        "bucket_start",
+        F.col("_v").isNull().alias("is_gap"),
+        locf.alias("value_locf"),
+        linear.alias("value_linear"),
+    )

@@ -1,0 +1,305 @@
+"""Gorilla-style time-series compression, numpy-vectorized, Arrow-UDF hosted.
+
+Encodes a tier's (bucket_start, value) stream per (conv_id, tier, chunk) into
+two binary blobs (FIXTURES.md §4):
+
+- ``ts_blob``   — timestamp delta-of-delta coding (Gorilla §4.1.1, Pelkonen et
+  al., VLDB 2015): prefix classes '0' (dod=0), '10'+9b, '110'+12b, '1110'+16b,
+  '1111'+64b over zigzag(dod);
+- ``value_blob`` — XOR float coding (Gorilla §4.1.2): '0' for xor==0, else
+  '1' + 5-bit leading-zero count + 6-bit meaningful-length + meaningful bits.
+
+Deliberate divergence from the paper: the value coder is *stateless* (each
+non-zero XOR stores its own leading/length window instead of reusing the
+previous window). The paper's stateful window creates a sequential dependency
+per element; the stateless variant vectorizes fully in numpy — the whole
+encode is O(70) numpy passes regardless of chunk length, no per-row Python —
+at a cost of ~11 bits per *changed* value. Round-trip is bitwise exact
+(including NaN/±0.0, since we operate on raw uint64 views).
+
+Reference analog: the opaque per-series model blob sink/source
+(``/root/reference/mpnsm/time_series/model.py:518-552``,
+``manager.py:213-220``) — per-key binary artifacts produced inside the
+per-series kernel; here the kernel is a grouped-map pandas UDF
+(SURVEY.md §2.10 F4).
+
+Scale notes (100 TB): chunking is by fixed time range
+(``chunk_id = bucket_epoch // (points_per_chunk * tier_seconds)``), so group
+size entering ``applyInPandas`` is *bounded by construction* — a hot
+conversation becomes many chunks, never one giant group. That is the skew
+strategy for the UDF stage (AQE cannot split applyInPandas groups;
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpnsm_spark import TIER_SECONDS
+from mpnsm_spark.schema import CHUNK_SCHEMA
+
+_U64 = np.uint64
+_ONE = _U64(1)
+
+# ---------------------------------------------------------------- bit helpers
+
+
+def _floor_log2(x: np.ndarray) -> np.ndarray:
+    """Vectorized floor(log2(x)) for uint64 x>0 (binary search, 6 passes)."""
+    r = np.zeros(x.shape, np.int64)
+    cur = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = cur >= (_ONE << _U64(s))
+        r[m] += s
+        cur[m] >>= _U64(s)
+    return r
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    return 63 - _floor_log2(x)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    low = x & (~x + _ONE)
+    return _floor_log2(low)
+
+
+def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Concatenate variable-length MSB-first codes into a byte string.
+
+    ``codes[i]`` carries ``lengths[i]`` (0..64) significant low bits. The pack
+    loops over *bit positions* (≤64 iterations), not elements — fully
+    vectorized over the chunk.
+    """
+    lengths = lengths.astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    total = int(offsets[-1] + lengths[-1]) if len(lengths) else 0
+    bits = np.zeros(total, np.uint8)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for k in range(max_len):
+        m = lengths > k
+        if not m.any():
+            break
+        shift = (lengths[m] - 1 - k).astype(np.uint64)
+        bits[offsets[m] + k] = ((codes[m] >> shift) & _ONE).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    """Sequential MSB-first bit reader over a packed blob (decode path)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, blob: bytes):
+        self.bits = np.unpackbits(np.frombuffer(blob, np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        b = self.bits
+        for i in range(n):
+            v = (v << 1) | int(b[p + i])
+        self.pos = p + n
+        return v
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    return ((x << 1) ^ (x >> 63)).astype(np.int64).view(np.uint64)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+# ------------------------------------------------------------- ts encode/decode
+
+# (prefix, prefix_bits, payload_bits); class chosen by zigzag magnitude.
+_TS_CLASSES = ((0b10, 2, 9), (0b110, 3, 12), (0b1110, 4, 16))
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode int64 epoch values. Layout: 8B first ts (big
+    endian, signed) then the dod bitstream for elements 1..n-1 with implicit
+    delta_0 = 0."""
+    ts = np.asarray(ts, np.int64)
+    n = len(ts)
+    head = int(ts[0]).to_bytes(8, "big", signed=True) if n else b""
+    if n <= 1:
+        return head
+    deltas = np.diff(ts)
+    dods = np.diff(np.concatenate(([np.int64(0)], deltas)))
+    z = _zigzag(dods)
+
+    codes = np.zeros((len(z), 2), np.uint64)
+    lens = np.zeros((len(z), 2), np.int64)
+    done = z == 0  # class '0': 1 bit
+    codes[done, 0] = 0
+    lens[done, 0] = 1
+    for prefix, pbits, vbits in _TS_CLASSES:
+        m = (~done) & (z < (_ONE << _U64(vbits)))
+        codes[m, 0] = (_U64(prefix) << _U64(vbits)) | z[m]
+        lens[m, 0] = pbits + vbits
+        done |= m
+    rest = ~done  # class '1111' + 64 raw bits (two entries)
+    codes[rest, 0] = 0b1111
+    lens[rest, 0] = 4
+    codes[rest, 1] = z[rest]
+    lens[rest, 1] = 64
+    return head + _pack_codes(codes.ravel(), lens.ravel())
+
+
+def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, np.int64)
+    first = int.from_bytes(blob[:8], "big", signed=True)
+    out = np.empty(n, np.int64)
+    out[0] = first
+    r = _BitReader(blob[8:])
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            for prefix, pbits, vbits in _TS_CLASSES:
+                if r.read(1) == 0:
+                    dod = _unzigzag(r.read(vbits))
+                    break
+            else:
+                dod = _unzigzag(r.read(64))
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ---------------------------------------------------------- value encode/decode
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """XOR-encode float64 values. Layout: 8B first value (raw bits, big
+    endian) then the XOR bitstream for elements 1..n-1."""
+    bits = np.ascontiguousarray(np.asarray(vals, np.float64)).view(np.uint64)
+    n = len(bits)
+    head = int(bits[0]).to_bytes(8, "big") if n else b""
+    if n <= 1:
+        return head
+    xor = bits[1:] ^ bits[:-1]
+    nz = xor != 0
+
+    codes = np.zeros((len(xor), 2), np.uint64)
+    lens = np.zeros((len(xor), 2), np.int64)
+    lens[~nz, 0] = 1  # '0'
+    if nz.any():
+        x = xor[nz]
+        lead = np.minimum(_clz64(x), 31)
+        trail = _ctz64(x)
+        mlen = 64 - lead - trail  # ≥1; ≤33+31 bounded by clamp logic
+        # control '1' + lead(5) + (mlen-1)(6)
+        codes[nz, 0] = (
+            (_ONE << _U64(11))
+            | (lead.astype(np.uint64) << _U64(6))
+            | (mlen - 1).astype(np.uint64)
+        )
+        lens[nz, 0] = 12
+        codes[nz, 1] = x >> trail.astype(np.uint64)
+        lens[nz, 1] = mlen
+    return head + _pack_codes(codes.ravel(), lens.ravel())
+
+
+def decode_values(blob: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, np.float64)
+    out = np.empty(n, np.uint64)
+    out[0] = _U64(int.from_bytes(blob[:8], "big"))
+    r = _BitReader(blob[8:])
+    prev = int(out[0])
+    for i in range(1, n):
+        if r.read(1) == 0:
+            cur = prev
+        else:
+            lead = r.read(5)
+            mlen = r.read(6) + 1
+            payload = r.read(mlen)
+            cur = prev ^ (payload << (64 - lead - mlen))
+        out[i] = _U64(cur)
+        prev = cur
+    return out.view(np.float64)
+
+
+# ---------------------------------------------------------------- Spark wiring
+
+
+def encode_tier_chunks(
+    tier_df: DataFrame,
+    tier: str,
+    value_col: str = "value_avg",
+    points_per_chunk: int = 4096,
+) -> DataFrame:
+    """Tier table → Gorilla chunk table via grouped-map pandas UDF.
+
+    Groups are (conv_id, chunk_id) with chunk_id derived from the bucket epoch,
+    so group size ≤ points_per_chunk by construction (skew-safe).
+    """
+    span = TIER_SECONDS[tier] * points_per_chunk
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, chunk_id = key
+        pdf = pdf.sort_values("bucket_start")
+        ts = (pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
+        vals = pdf["_v"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "tier": [tier],
+                "chunk_id": [chunk_id],
+                "range_start": [pdf["bucket_start"].iloc[0]],
+                "range_end": [pdf["bucket_start"].iloc[-1]],
+                "n_points": [len(pdf)],
+                "ts_blob": [encode_timestamps(ts)],
+                "value_blob": [encode_values(vals)],
+            }
+        )
+
+    prepared = tier_df.select(
+        "conv_id",
+        "bucket_start",
+        F.col(value_col).alias("_v"),
+        (F.unix_timestamp("bucket_start") / F.lit(span))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return prepared.groupBy("conv_id", "chunk_id").applyInPandas(
+        encode_group, CHUNK_SCHEMA
+    )
+
+
+def decode_chunks(chunk_df: DataFrame) -> DataFrame:
+    """Chunk table → dense (conv_id, tier, bucket_start, value) rows.
+
+    mapInPandas: each Arrow batch of chunk rows expands to decoded points —
+    no shuffle, runs wherever the chunks are."""
+
+    def expand(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                ts = decode_timestamps(row.ts_blob, row.n_points)
+                vals = decode_values(row.value_blob, row.n_points)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": row.conv_id,
+                            "tier": row.tier,
+                            "bucket_start": pd.to_datetime(ts, unit="s"),
+                            "value": vals,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    schema = "conv_id string, tier string, bucket_start timestamp, value double"
+    return chunk_df.mapInPandas(expand, schema)

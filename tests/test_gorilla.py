@@ -1,0 +1,101 @@
+"""Gorilla codec: round-trip properties (numpy level) + Spark chunk pipeline."""
+
+import numpy as np
+import pytest
+
+from mpnsm_spark.operators.gorilla import (
+    decode_chunks,
+    decode_timestamps,
+    decode_values,
+    encode_tier_chunks,
+    encode_timestamps,
+    encode_values,
+)
+from mpnsm_spark.operators.rollup import rollup_raw
+
+RNG = np.random.default_rng(42)
+
+
+def _ts_cases():
+    base = 1_735_689_600  # 2025-01-01
+    return {
+        "regular_minute": base + 60 * np.arange(500, dtype=np.int64),
+        "single": np.array([base], dtype=np.int64),
+        "pair": np.array([base, base + 1], dtype=np.int64),
+        "irregular": base + np.cumsum(RNG.integers(1, 10_000, 400)).astype(np.int64),
+        "huge_jumps": base + np.cumsum(RNG.integers(1, 2**40, 50)).astype(np.int64),
+        "bursty": base + np.sort(RNG.integers(0, 120, 300)).astype(np.int64),
+    }
+
+
+def _val_cases():
+    return {
+        "constant": np.full(500, 3.25),
+        "ramp": np.linspace(0.0, 1.0, 400),
+        "random": RNG.normal(100.0, 15.0, 300),
+        "ints_as_floats": RNG.integers(0, 300, 400).astype(np.float64),
+        "single": np.array([7.5]),
+        "specials": np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1e308]),
+    }
+
+
+@pytest.mark.parametrize("name", list(_ts_cases()))
+def test_ts_roundtrip(name):
+    ts = _ts_cases()[name]
+    blob = encode_timestamps(ts)
+    out = decode_timestamps(blob, len(ts))
+    np.testing.assert_array_equal(out, ts)
+
+
+@pytest.mark.parametrize("name", list(_val_cases()))
+def test_value_roundtrip_bitwise(name):
+    vals = _val_cases()[name]
+    blob = encode_values(vals)
+    out = decode_values(blob, len(vals))
+    # bitwise equality (handles NaN and -0.0)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+def test_compression_ratio_regular_series():
+    """Regular minute buckets + slowly-varying values must beat raw 16B/point."""
+    ts = 1_735_689_600 + 60 * np.arange(4096, dtype=np.int64)
+    vals = np.round(RNG.normal(100, 1, 4096))  # integral doubles XOR well
+    total = len(encode_timestamps(ts)) + len(encode_values(vals))
+    raw = 16 * 4096
+    assert total < raw / 3, f"compressed {total}B vs raw {raw}B"
+    # dod=0 everywhere → ts stream ~1 bit/point
+    assert len(encode_timestamps(ts)) < 8 + 4096 // 8 + 16
+
+
+def test_empty_arrays():
+    assert encode_timestamps(np.empty(0, np.int64)) == b""
+    assert decode_timestamps(b"", 0).size == 0
+    assert encode_values(np.empty(0)) == b""
+    assert decode_values(b"", 0).size == 0
+
+
+def test_spark_chunk_roundtrip(spark, transcripts):
+    """tier_1m → encode chunks → decode == original (conv_id, bucket, value_avg)."""
+    tier = rollup_raw(transcripts, "1m")
+    chunks = encode_tier_chunks(tier, "1m", points_per_chunk=256)
+    decoded = decode_chunks(chunks).toPandas()
+    expected = tier.select("conv_id", "bucket_start", "value_avg").toPandas()
+
+    d = decoded.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    e = expected.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    assert len(d) == len(e)
+    assert (d["conv_id"] == e["conv_id"]).all()
+    assert (d["bucket_start"].values == e["bucket_start"].values).all()
+    np.testing.assert_array_equal(
+        d["value"].to_numpy().view(np.uint64),
+        e["value_avg"].to_numpy(np.float64).view(np.uint64),
+    )
+    assert (decoded["tier"] == "1m").all()
+
+
+def test_chunk_bounded_size(spark, transcripts):
+    """No chunk exceeds points_per_chunk — hot conversations split by time."""
+    tier = rollup_raw(transcripts, "1m")
+    chunks = encode_tier_chunks(tier, "1m", points_per_chunk=64).toPandas()
+    assert (chunks["n_points"] <= 64).all()
+    assert chunks["n_points"].sum() == tier.count()
