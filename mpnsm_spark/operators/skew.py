@@ -1,0 +1,99 @@
+"""Explicit skew handling for per-conversation grouped work.
+
+The reference load-balances only via "many series × n_jobs workers"
+(``/root/reference/mpnsm/time_series/manager.py:308-313``); one giant series
+stalls a worker — the same pathology as a hot ``conv_id`` in a
+``groupBy(conv_id).applyInPandas`` stage, which AQE cannot split
+(SURVEY.md §4). This module makes the skew strategy explicit:
+
+1. **salt buckets** — ``bucket_id = pmod(xxhash64(conv_id), B)`` distributes
+   conversations across B buckets for lineage/commit granularity and for
+   pre-shuffle balance;
+2. **hot-conversation sub-splitting** — a size pre-pass finds conversations
+   above ``split_threshold`` turns; only those are split into bounded
+   ``sub_id`` ranges by ``turn_idx``, so every grouped-map group is
+   ≤ threshold rows. Results are re-merged by an associative combine
+   (e.g. ``rollup.merge_partials``) — safe for all tier columns by design.
+
+Everything here is declarative Spark SQL; the only custom piece is the
+``apply_per_series`` wrapper, the engine's analog of mpnsm's per-series
+parallel fitting loop (SURVEY.md §2.10 F1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_buckets: int, key: str = "conv_id") -> DataFrame:
+    """Stable salt bucket per key: pmod(xxhash64(key), B)."""
+    return df.withColumn(
+        "bucket_id", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+    )
+
+
+def conv_sizes(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Size pre-pass (reference: empty-series pruning / load balance,
+    ``deprecated/ts_manager.py:215-216``)."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("n_turns"))
+
+
+def with_sub_splits(
+    df: DataFrame,
+    split_threshold: int,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Add ``sub_id`` splitting only hot keys into ≤ threshold-row ranges.
+
+    Cold conversations get sub_id=0 (single group, no behavior change). The
+    size pre-pass result is broadcast — it is tiny (one row per conversation
+    above threshold).
+    """
+    hot = (
+        conv_sizes(df, key)
+        .filter(F.col("n_turns") > split_threshold)
+        .select(key, F.lit(True).alias("_is_hot"))
+    )
+    return (
+        df.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "sub_id",
+            F.when(
+                F.col("_is_hot").isNotNull(),
+                (F.col(order_col) / F.lit(split_threshold)).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_hot")
+    )
+
+
+def apply_per_series(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema,
+    split_threshold: int | None = None,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Run a pandas kernel once per conversation — mpnsm's flagship operator
+    (per-series joblib loop → ``groupBy(conv_id).applyInPandas``).
+
+    ``fn`` receives the group's rows sorted by ``order_col`` and must return a
+    DataFrame matching ``output_schema`` **plus carry the key column through**.
+    With ``split_threshold``, hot conversations are sub-split and ``fn`` runs
+    per (conv, sub-range) — only safe when the caller's downstream re-merge is
+    associative (tier rollups are; arbitrary kernels may not be).
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(order_col).reset_index(drop=True))
+
+    if split_threshold is None:
+        return df.groupBy(key).applyInPandas(run, output_schema)
+    sub = with_sub_splits(df, split_threshold, key=key, order_col=order_col)
+    return sub.groupBy(key, "sub_id").applyInPandas(run, output_schema).drop("sub_id")

@@ -1,0 +1,150 @@
+"""End-to-end pipeline: correctness, lineage, retention invariant, kill/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators.rollup import rollup_raw
+from mpnsm_spark.plans.pipeline import (
+    LINEAGE_TABLE,
+    PipelineConfig,
+    StageFailure,
+    normalize,
+    read_chunks,
+    read_gapfill,
+    read_raw_retained,
+    read_tier,
+    run_pipeline,
+    verify_turn_integrity,
+)
+from mpnsm_spark.sources.tableio import TableIO
+
+from .oracle_pandas import compare_frames
+
+FLOATS = ("value_sum", "value_min", "value_max", "value_avg", "first_value", "last_value")
+KEYS = ["conv_id", "bucket_start"]
+
+
+def _cfg(**kw):
+    defaults = dict(num_buckets=4, points_per_chunk=512, gapfill_tiers=("1d",))
+    defaults.update(kw)
+    return PipelineConfig(**defaults)
+
+
+def test_pipeline_end_to_end(spark, transcripts, tmp_path):
+    io = TableIO(str(tmp_path / "warehouse"))
+    summary = run_pipeline(spark, transcripts, io, _cfg())
+    assert summary["integrity_ok"]
+    assert summary["input_turns"] == transcripts.count()
+
+    # Tier tables match direct rollups of the normalized input.
+    norm = normalize(transcripts, 4).drop("bucket_id")
+    for tier in ("1m", "1h", "1d"):
+        stored = read_tier(spark, io, tier).toPandas()
+        direct = rollup_raw(norm, tier).toPandas()
+        compare_frames(stored, direct, KEYS, float_cols=FLOATS)
+
+    # Chunks decode back to tier points.
+    from mpnsm_spark.operators.gorilla import decode_chunks
+
+    dec = decode_chunks(read_chunks(spark, io, "1h")).count()
+    assert dec == read_tier(spark, io, "1h").count()
+
+    # Gap-fill table exists and is dense per conv.
+    gf = read_gapfill(spark, io, "1d")
+    assert gf.count() >= read_tier(spark, io, "1d").count()
+
+    # Lineage: every stage has one ok row per bucket.
+    lin = io.read(spark, LINEAGE_TABLE).toPandas()
+    for stage in (
+        "tier_1m",
+        "tier_1h",
+        "tier_1d",
+        "gapfill_1d",
+        "chunks_1m",
+        "chunks_1h",
+        "chunks_1d",
+        "retention",
+    ):
+        got = lin[(lin.stage == stage) & (lin.status == "ok")].bucket_id.nunique()
+        assert got == 4, f"stage {stage}: {got} buckets"
+    # Chunk stages report encode_bytes.
+    assert (lin[lin.stage == "chunks_1m"].encode_bytes > 0).all()
+
+
+def test_retention_cutoff_drops_raw_but_keeps_tiers(spark, transcripts, tmp_path):
+    io = TableIO(str(tmp_path / "wh2"))
+    cutoff = "2025-01-15 00:00:00"
+    summary = run_pipeline(spark, transcripts, io, _cfg(retention_cutoff=cutoff))
+    assert summary["integrity_ok"]
+    retained = read_raw_retained(spark, io)
+    assert retained.filter(F.col("ts") < cutoff).count() == 0
+    # Tiers still cover the dropped period (retention safety, FIXTURES.md).
+    t1d = read_tier(spark, io, "1d")
+    assert t1d.filter(F.col("bucket_start") < cutoff).count() > 0
+    # All retained turns match the source text exactly.
+    src = normalize(transcripts, 4).filter(F.col("ts") >= cutoff)
+    joined = src.alias("s").join(
+        retained.alias("r"), ["conv_id", "turn_idx"], "full"
+    )
+    mism = joined.filter(
+        F.col("s.text").isNull()
+        | F.col("r.text").isNull()
+        | (F.col("s.text") != F.col("r.text"))
+    )
+    assert mism.count() == 0
+
+
+def test_kill_resume_idempotent(spark, transcripts, tmp_path):
+    """Crash after tier_1h commits → resume completes; outputs identical to a
+    clean one-shot run (resume idempotence, SURVEY.md §5.3)."""
+    io = TableIO(str(tmp_path / "wh3"))
+    cfg = _cfg(wave_size=2)
+    with pytest.raises(StageFailure):
+        run_pipeline(spark, transcripts, io, cfg, fail_after_stage="tier_1h")
+    lin = io.read(spark, LINEAGE_TABLE).toPandas()
+    assert set(lin[lin.stage == "tier_1m"].bucket_id) == {0, 1, 2, 3}
+    # tier_1h only got its first wave before the crash
+    assert set(lin[lin.stage == "tier_1h"].bucket_id) == {0, 1}
+
+    resumed = run_pipeline(spark, transcripts, io, _cfg(wave_size=2))
+    assert resumed["integrity_ok"]
+    # Resume skipped completed buckets.
+    assert resumed["stages"]["tier_1m"] == 0
+    assert resumed["stages"]["tier_1h"] == 2
+
+    # Byte-identical tier content vs a clean run.
+    io_clean = TableIO(str(tmp_path / "wh3_clean"))
+    run_pipeline(spark, transcripts, io_clean, _cfg())
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier(spark, io, tier).toPandas()
+        b = read_tier(spark, io_clean, tier).toPandas()
+        compare_frames(a, b, KEYS, float_cols=FLOATS)
+
+
+def test_resume_noop_when_complete(spark, transcripts, tmp_path):
+    io = TableIO(str(tmp_path / "wh4"))
+    run_pipeline(spark, transcripts, io, _cfg())
+    again = run_pipeline(spark, transcripts, io, _cfg())
+    assert all(v == 0 for v in again["stages"].values())
+
+
+def test_integrity_detects_corruption(spark, transcripts, tmp_path):
+    io = TableIO(str(tmp_path / "wh5"))
+    run_pipeline(spark, transcripts, io, _cfg())
+    norm = normalize(transcripts, 4)
+    tampered = norm.withColumn(
+        "text", F.when(F.col("turn_idx") == 0, F.lit("TAMPERED")).otherwise(F.col("text"))
+    )
+    assert verify_turn_integrity(spark, io, norm)
+    assert not verify_turn_integrity(spark, io, tampered)
+
+
+def test_normalize_dedupes_keep_last(spark, transcripts):
+    dup = transcripts.unionByName(
+        transcripts.limit(50).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+        ).withColumn("text", F.lit("NEWER"))
+    )
+    norm = normalize(dup, 4)
+    assert norm.count() == transcripts.count()
+    assert norm.filter(F.col("text") == "NEWER").count() == 50

@@ -1,0 +1,72 @@
+"""Skew machinery: salt buckets, hot-key sub-splitting, per-series kernel."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators.rollup import merge_partials, rollup_raw
+from mpnsm_spark.operators.skew import (
+    apply_per_series,
+    conv_sizes,
+    with_salt,
+    with_sub_splits,
+)
+
+from .oracle_pandas import compare_frames
+
+FLOATS = ("value_sum", "value_min", "value_max", "value_avg", "first_value", "last_value")
+
+
+def test_salt_stable_and_bounded(transcripts):
+    df = with_salt(transcripts, 8)
+    stats = df.groupBy("conv_id").agg(F.countDistinct("bucket_id").alias("nb")).toPandas()
+    assert (stats["nb"] == 1).all()  # one bucket per conversation
+    ids = df.select("bucket_id").distinct().toPandas()["bucket_id"]
+    assert ids.between(0, 7).all()
+
+
+def test_sub_splits_bound_group_size(transcripts):
+    sub = with_sub_splits(transcripts, split_threshold=50)
+    sizes = sub.groupBy("conv_id", "sub_id").count().toPandas()
+    assert (sizes["count"] <= 50).all()
+    # cold conversations keep a single group
+    cold = conv_sizes(transcripts).filter(F.col("n_turns") <= 50)
+    cold_subs = sub.join(cold, "conv_id", "left_semi").select("sub_id").distinct()
+    assert cold_subs.toPandas()["sub_id"].tolist() == [0]
+
+
+def test_per_series_kernel_with_split_matches_unsplit(spark, transcripts):
+    """A per-series rollup kernel run with hot-key splitting + associative
+    re-merge equals the plain SQL rollup (split safety end-to-end)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n": [len(pdf)],
+                "vsum": [float(pdf["value"].sum())],
+            }
+        )
+        return out
+
+    schema = "conv_id string, n long, vsum double"
+    split = apply_per_series(
+        transcripts, kernel, schema, split_threshold=40
+    )
+    merged = split.groupBy("conv_id").agg(
+        F.sum("n").alias("n"), F.sum("vsum").alias("vsum")
+    )
+    expected = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum")
+    )
+    a = merged.toPandas().sort_values("conv_id").reset_index(drop=True)
+    b = expected.toPandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_split_rollup_remerge(transcripts):
+    """Tier rollup of sub-split raw + merge_partials == unsplit rollup."""
+    sub = with_sub_splits(transcripts, split_threshold=30)
+    parts = rollup_raw(sub.drop("sub_id"), "1h")  # sanity: dropping split is the same df
+    full = rollup_raw(transcripts, "1h").toPandas()
+    merged = merge_partials(parts).toPandas()
+    compare_frames(merged, full, ["conv_id", "bucket_start"], float_cols=FLOATS)
