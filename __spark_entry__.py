@@ -1,38 +1,539 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: map the events stream into the transcript shape
+and run the engine's full tier cascade, returning the 1h tier.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, each Spark callable paired with DuckDB-runnable ANSI SQL that
+computes the same result with the same column names.
+
+Float determinism contract between Spark and DuckDB: every SUM over doubles
+goes through an exact DECIMAL(20,6) cast (both engines do exact decimal
+arithmetic → identical values), ratios divide the identical doubles, so the
+driver's value-hash comparison is bitwise-stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- helpers
+
+DEC = "decimal(20,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str):
+    """Exact decimal sum surfaced as double (cross-engine bitwise stable)."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → transcript shape → normalize → 1m rollup → 1h cascade."""
+    from mpnsm_spark.operators.rollup import cascade, rollup_raw
+    from mpnsm_spark.plans.pipeline import normalize
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    transcripts = ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("int")
+        .alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    norm = normalize(transcripts, num_buckets=8)
+    return cascade(rollup_raw(norm, "1m"), "1h")
+
+
+# --------------------------------------------------------------- query bodies
+
+
+def q_tier_1m_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: tier rollup — per (user, minute) bucket aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("minute", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.countDistinct("event_type").alias("distinct_types"),
+        )
+        .withColumn("value_avg", F.col("value_sum") / F.col("n_events"))
+    )
+
+
+SQL_TIER_1M = """
+SELECT user_id,
+       date_trunc('minute', ts) AS bucket_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       min_by(value, event_id) AS first_value,
+       max_by(value, event_id) AS last_value,
+       count(DISTINCT event_type) AS distinct_types,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_tier_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 cascade: 1h tier computed by re-aggregating the 1m tier (exact
+    continuous-aggregate consistency — oracle computes 1h directly)."""
+    ev = _t(spark, sf_dir, "events")
+    t1m = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("_dec_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    return (
+        t1m.groupBy(
+            "user_id", F.date_trunc("hour", "bucket_start").alias("bucket_start")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_dec_sum").cast("double").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+        .withColumn("value_avg", F.col("value_sum") / F.col("n_events"))
+    )
+
+
+SQL_TIER_1H = """
+SELECT user_id,
+       date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+W5+W6: dense hourly grid per user, LOCF + linear interpolation."""
+    from mpnsm_spark.operators.gapfill import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    t1h = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast(DEC)).alias("s"))
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            "bucket_start",
+            (F.col("s").cast("double") / F.col("n")).alias("value_avg"),
+        )
+    )
+    out = gapfill(t1h, "1h")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "bucket_start",
+        "is_gap",
+        "value_locf",
+        "value_linear",
+    )
+
+
+SQL_GAPFILL_1H = """
+WITH t1h AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+  FROM events GROUP BY 1, 2
+), extent AS (
+  SELECT user_id, min(bucket_start) AS b0, max(bucket_start) AS b1 FROM t1h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_start
+  FROM extent
+), dense AS (
+  SELECT g.user_id, g.bucket_start, t.value_avg AS v
+  FROM grid g LEFT JOIN t1h t USING (user_id, bucket_start)
+), anchored AS (
+  SELECT user_id, bucket_start, v,
+    last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+    first_value(v IGNORE NULLS) OVER w_next AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch(bucket_start) END IGNORE NULLS) OVER w_prev AS prev_t,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch(bucket_start) END IGNORE NULLS) OVER w_next AS next_t
+  FROM dense
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_start,
+       v IS NULL AS is_gap,
+       coalesce(prev_v, next_v) AS value_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              prev_v + (next_v - prev_v) * (epoch(bucket_start) - prev_t) / (next_t - prev_t)
+            ELSE coalesce(prev_v, next_v) END AS value_linear
+FROM anchored
+"""
+
+
+def q_dedupe_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12/A6/U2: keep the latest event per (user, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+SQL_DEDUPE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-3 events by value per user (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+
+SQL_TOPK = """
+SELECT user_id, rank, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7+W9: sessionization — new session when gap > 30 min."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap_flag = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = F.sum(gap_flag).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  -- floor(epoch(.)) matches Spark's second-truncating unix_timestamp()
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def q_rolling_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: centered 5-row rolling mean per user (reference smoothing)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("smooth"),
+    )
+
+
+SQL_ROLLING = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+         / count(*) OVER w AS smooth
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def q_second_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: second difference (changepoint second derivative)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1 = F.lag("value", 1).over(w)
+    lag2 = F.lag("value", 2).over(w)
+    return ev.select(
+        "user_id", "event_id", (F.col("value") - 2 * lag1 + lag2).alias("d2")
+    )
+
+
+SQL_SECOND_DIFF = """
+SELECT user_id, event_id,
+       value - 2 * lag(value, 1) OVER w + lag(value, 2) OVER w AS d2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: resume filter — drop users already 'completed' (here: > 80 events)."""
+    ev = _t(spark, sf_dir, "events")
+    done = ev.groupBy("user_id").count().filter(F.col("count") > 80).select("user_id")
+    return (
+        ev.join(done, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT user_id, count(*) AS n_events
+FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events GROUP BY user_id HAVING count(*) > 80
+)
+GROUP BY user_id
+"""
+
+
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J3: enrich events with their user's daily aggregate (broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(_dsum("value").alias("day_sum"))
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .join(F.broadcast(daily), ["user_id", "day"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "day_sum",
+            (F.col("value") / F.col("day_sum")).alias("share"),
+        )
+    )
+
+
+SQL_ENRICH = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.value, d.day_sum, e.value / d.day_sum AS share
+FROM events e LEFT JOIN daily d
+  ON e.user_id = d.user_id AND date_trunc('day', e.ts) = d.day
+"""
+
+
+def q_wmape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F3: WMAPE metric kernel — |y - yhat| mass over |y| mass per type,
+    with yhat = previous value (LOCF one-step 'forecast')."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pred = ev.withColumn("yhat", F.lag("value").over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    return pred.groupBy("event_type").agg(
+        (
+            F.sum(F.abs(F.col("value") - F.col("yhat")).cast(DEC)).cast("double")
+            / F.sum(F.abs(F.col("value")).cast(DEC)).cast("double")
+        ).alias("wmape"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_WMAPE = """
+WITH pred AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS yhat
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CAST(abs(value - yhat) AS DECIMAL(20,6))) AS DOUBLE)
+         / CAST(sum(CAST(abs(value) AS DECIMAL(20,6))) AS DOUBLE) AS wmape,
+       count(*) AS n
+FROM pred WHERE yhat IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-user modal event type (deterministic tie-break by name)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+SQL_MODE = """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact interpolated quantiles per event type (reference IQR caps)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q25"),
+        F.percentile("value", 0.5).alias("q50"),
+        F.percentile("value", 0.75).alias("q75"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS q25,
+       quantile_cont(value, 0.50) AS q50,
+       quantile_cont(value, 0.75) AS q75
+FROM events GROUP BY event_type
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General agg proof on lineitem (pricing summary)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_gorilla_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: Gorilla encode→decode of the 1m tier must reproduce value_avg
+    bitwise — the oracle is simply the 1m rollup itself."""
+    from mpnsm_spark.operators.gorilla import decode_chunks, encode_tier_chunks
+
+    ev = _t(spark, sf_dir, "events")
+    t1m = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.date_trunc("minute", "ts").alias("bucket_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast(DEC)).alias("s"))
+        .withColumn("value_avg", F.col("s").cast("double") / F.col("n"))
+    )
+    chunks = encode_tier_chunks(t1m, "1m", points_per_chunk=2048)
+    return decode_chunks(chunks).select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "bucket_start",
+        F.col("value").alias("value_avg"),
+    )
+
+
+SQL_GORILLA_1M = """
+SELECT user_id,
+       date_trunc('minute', ts) AS bucket_start,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tier_1m_rollup": q_tier_1m_rollup,
+        "tier_1h_cascade": q_tier_1h_cascade,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "dedupe_keep_last": q_dedupe_keep_last,
+        "topk_per_user": q_topk_per_user,
+        "sessionize": q_sessionize,
+        "rolling_smooth": q_rolling_smooth,
+        "second_diff": q_second_diff,
+        "anti_join_resume": q_anti_join_resume,
+        "enrich_join": q_enrich_join,
+        "wmape": q_wmape,
+        "mode_event_type": q_mode_event_type,
+        "quantiles": q_quantiles,
+        "tpch_q1": q_tpch_q1,
+        "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tier_1m_rollup": SQL_TIER_1M,
+        "tier_1h_cascade": SQL_TIER_1H,
+        "gapfill_locf_1h": SQL_GAPFILL_1H,
+        "dedupe_keep_last": SQL_DEDUPE,
+        "topk_per_user": SQL_TOPK,
+        "sessionize": SQL_SESSIONIZE,
+        "rolling_smooth": SQL_ROLLING,
+        "second_diff": SQL_SECOND_DIFF,
+        "anti_join_resume": SQL_ANTI_JOIN,
+        "enrich_join": SQL_ENRICH,
+        "wmape": SQL_WMAPE,
+        "mode_event_type": SQL_MODE,
+        "quantiles": SQL_QUANTILES,
+        "tpch_q1": SQL_TPCH_Q1,
+        "gorilla_roundtrip_1m": SQL_GORILLA_1M,
+    }
