@@ -70,21 +70,19 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
 def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     """Concatenate variable-length MSB-first codes into a byte string.
 
-    ``codes[i]`` carries ``lengths[i]`` (0..64) significant low bits. The pack
-    loops over *bit positions* (≤64 iterations), not elements — fully
-    vectorized over the chunk.
+    ``codes[i]`` carries ``lengths[i]`` (0..64) significant low bits. Fully
+    vectorized O(total_bits): expand per-bit element indices with np.repeat,
+    shift, mask, packbits — no Python loop at all.
     """
     lengths = lengths.astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lengths)))[:-1]
-    total = int(offsets[-1] + lengths[-1]) if len(lengths) else 0
-    bits = np.zeros(total, np.uint8)
-    max_len = int(lengths.max()) if len(lengths) else 0
-    for k in range(max_len):
-        m = lengths > k
-        if not m.any():
-            break
-        shift = (lengths[m] - 1 - k).astype(np.uint64)
-        bits[offsets[m] + k] = ((codes[m] >> shift) & _ONE).astype(np.uint8)
+    total = int(lengths.sum())
+    if total == 0:
+        return b""
+    elem = np.repeat(np.arange(len(lengths)), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    k = np.arange(total) - np.repeat(starts, lengths)
+    shift = (lengths[elem] - 1 - k).astype(np.uint64)
+    bits = ((codes[elem] >> shift) & _ONE).astype(np.uint8)
     return np.packbits(bits).tobytes()
 
 
@@ -237,41 +235,57 @@ def encode_tier_chunks(
     tier: str,
     value_col: str = "value_avg",
     points_per_chunk: int = 4096,
+    chunks_per_group: int = 32,
 ) -> DataFrame:
     """Tier table → Gorilla chunk table via grouped-map pandas UDF.
 
-    Groups are (conv_id, chunk_id) with chunk_id derived from the bucket epoch,
-    so group size ≤ points_per_chunk by construction (skew-safe).
+    Chunk boundaries are fixed time ranges (``chunk_id = epoch // span``), so a
+    chunk holds ≤ points_per_chunk points by construction. To amortize the
+    per-group Python/Arrow overhead, the UDF receives a *super-group* of up to
+    ``chunks_per_group`` consecutive chunks (group size still bounded:
+    ≤ points_per_chunk × chunks_per_group rows) and splits/encodes them with a
+    small in-UDF loop whose per-chunk work is fully vectorized.
     """
     span = TIER_SECONDS[tier] * points_per_chunk
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id, chunk_id = key
+        conv_id = key[0]
         pdf = pdf.sort_values("bucket_start")
-        ts = (pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
-        vals = pdf["_v"].to_numpy(np.float64)
-        return pd.DataFrame(
-            {
-                "conv_id": [conv_id],
-                "tier": [tier],
-                "chunk_id": [chunk_id],
-                "range_start": [pdf["bucket_start"].iloc[0]],
-                "range_end": [pdf["bucket_start"].iloc[-1]],
-                "n_points": [len(pdf)],
-                "ts_blob": [encode_timestamps(ts)],
-                "value_blob": [encode_values(vals)],
-            }
-        )
+        ts_all = (
+            pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
+        ).to_numpy()
+        vals_all = pdf["_v"].to_numpy(np.float64)
+        chunk_ids = ts_all // span
+        bounds = np.flatnonzero(np.diff(chunk_ids)) + 1
+        rows: dict[str, list] = {
+            "chunk_id": [], "range_start": [], "range_end": [],
+            "n_points": [], "ts_blob": [], "value_blob": [],
+        }
+        for seg_ts, seg_vals in zip(
+            np.split(ts_all, bounds), np.split(vals_all, bounds)
+        ):
+            rows["chunk_id"].append(int(seg_ts[0] // span))
+            rows["range_start"].append(seg_ts[0])
+            rows["range_end"].append(seg_ts[-1])
+            rows["n_points"].append(len(seg_ts))
+            rows["ts_blob"].append(encode_timestamps(seg_ts))
+            rows["value_blob"].append(encode_values(seg_vals))
+        out = pd.DataFrame(rows)
+        out.insert(0, "tier", tier)
+        out.insert(0, "conv_id", conv_id)
+        out["range_start"] = pd.to_datetime(out["range_start"], unit="s")
+        out["range_end"] = pd.to_datetime(out["range_end"], unit="s")
+        return out
 
     prepared = tier_df.select(
         "conv_id",
         "bucket_start",
         F.col(value_col).alias("_v"),
-        (F.unix_timestamp("bucket_start") / F.lit(span))
+        (F.unix_timestamp("bucket_start") / F.lit(span * chunks_per_group))
         .cast("long")
-        .alias("chunk_id"),
+        .alias("super_id"),
     )
-    return prepared.groupBy("conv_id", "chunk_id").applyInPandas(
+    return prepared.groupBy("conv_id", "super_id").applyInPandas(
         encode_group, CHUNK_SCHEMA
     )
 
