@@ -496,6 +496,374 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- reference-parity extras
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+P6: per-user IQR fence outlier flags (reference quantile caps)."""
+    from mpnsm_spark.operators.outliers import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("conv_id"), "value"
+    )
+    out = iqr_outliers(ev, key="conv_id")
+    return out.select(
+        "event_id",
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "value",
+        "is_outlier",
+        "fence_lo",
+        "fence_hi",
+    )
+
+
+SQL_IQR = """
+WITH fences AS (
+  SELECT user_id,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value < q1 - 1.5 * (q3 - q1)) OR (e.value > q3 + 1.5 * (q3 - q1)) AS is_outlier,
+       q1 - 1.5 * (q3 - q1) AS fence_lo,
+       q3 + 1.5 * (q3 - q1) AS fence_hi
+FROM events e JOIN fences USING (user_id)
+"""
+
+
+def q_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: alternating extreme-trim to ≤20 rows/user, closed form."""
+    from mpnsm_spark.operators.outliers import tail_trim
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "value",
+    )
+    out = tail_trim(ev, max_keep=20, order_col="turn_idx")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("turn_idx").alias("event_id"),
+        "value",
+    )
+
+
+SQL_TAIL_TRIM = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id, event_id, value FROM ranked
+WHERE rd > ceil(greatest(n - 20, 0) / 2.0)
+  AND ra > floor(greatest(n - 20, 0) / 2.0)
+"""
+
+
+def q_cv_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: expanding CV fold membership counts per (user, fold, role)."""
+    from mpnsm_spark.functions.cvsplits import expanding_folds
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        F.col("event_id"),
+        "value",
+    )
+    lab = expanding_folds(
+        ev, horizon=10, n_folds=3, jump=5, order_col="bucket_start", min_train=5
+    )
+    return lab.groupBy("conv_id", "fold", "role_cv").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("value").alias("value_sum")
+    ).select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "fold",
+        "role_cv",
+        "n",
+        "value_sum",
+    )
+
+
+SQL_CV = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), folds AS (
+  SELECT o.*, f.fold, o.n - 10 - f.fold * 5 AS cutoff
+  FROM ordered o CROSS JOIN (SELECT unnest(range(3)) AS fold) f
+  WHERE o.n - 10 - f.fold * 5 >= 5
+), labeled AS (
+  SELECT user_id, fold, value,
+         CASE WHEN rn <= cutoff THEN 'train'
+              WHEN rn <= cutoff + 10 THEN 'test' END AS role_cv
+  FROM folds
+)
+SELECT user_id, fold, role_cv, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM labeled WHERE role_cv IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_config_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: hierarchical config inheritance — nation-level overrides region-
+    level defaults; every customer must resolve (coverage assert)."""
+    from mpnsm_spark.operators.config import resolve_config
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    units = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "n_nationkey", "n_regionkey"
+    )
+    region_cfg = reg.select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        (F.col("r_regionkey") * 1.0).alias("growth"),
+    )
+    nation_cfg = nat.filter(F.col("n_nationkey") % 3 == 0).select(
+        "n_nationkey", (100.0 + F.col("n_nationkey")).alias("growth")
+    )
+    out = resolve_config(
+        units,
+        [(["n_regionkey"], region_cfg), (["n_nationkey"], nation_cfg)],
+        ["growth"],
+    )
+    return out.select("c_custkey", "growth")
+
+
+SQL_CONFIG = """
+SELECT c.c_custkey,
+       coalesce(ncfg.growth, rcfg.growth) AS growth
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT n_nationkey, 100.0 + n_nationkey AS growth
+           FROM nation WHERE n_nationkey % 3 = 0) ncfg
+       ON n.n_nationkey = ncfg.n_nationkey
+LEFT JOIN (SELECT r_regionkey, r_regionkey * 1.0 AS growth FROM region) rcfg
+       ON n.n_regionkey = rcfg.r_regionkey
+"""
+
+
+def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: per-series changepoint selection (rows-only: the greedy
+    min-distance pass is sequential per series, not SQL-expressible)."""
+    from mpnsm_spark.operators.outliers import changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    t1h = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(F.avg("value").alias("value_avg"))
+    )
+    return changepoints(t1h, n_changepoints=5, min_distance=3)
+
+
+# ----------------------------------------------------- training-data queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep lowest doc_id per digest."""
+    from mpnsm_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    from mpnsm_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "punct_ratio", "stop_ratio", "mean_tok_len", "quality_score"
+    )
+
+
+def _sql_count_occ(padded: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {n} AS INT)"
+
+
+def _sql_en_hits(textexpr: str) -> str:
+    padded = f"(' ' || lower({textexpr}) || ' ')"
+    return " + ".join(_sql_count_occ(padded, f" {w} ") for w in ("the", "and", "of", "is", "a"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(replace(replace(replace(replace(replace(replace(
+             text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS n_punct,
+         {_sql_en_hits('text')} AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len,
+       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE)/n_tokens ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.1 THEN 0.15 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE)/n_tokens ELSE 0.0 END) >= 0.01 THEN 0.15 ELSE 0.0 END
+       ) AS quality_score
+FROM feat
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic per document."""
+    from mpnsm_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "pred_lang"
+    )
+
+
+def _sql_lang_hits(lang_words: tuple[str, ...]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(_sql_count_occ(padded, f" {w} ") for w in lang_words)
+
+
+SQL_LANG_ID = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits(('the', 'and', 'of', 'is', 'a'))} AS hits_en,
+         {_sql_lang_hits(('der', 'die', 'und', 'ist', 'das'))} AS hits_de,
+         {_sql_lang_hits(('le', 'la', 'et', 'est', 'les'))} AS hits_fr,
+         {_sql_lang_hits(('el', 'los', 'es', 'y', 'una'))} AS hits_es
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM hits
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full + 64-char-prefix fingerprints of normalized text."""
+    from mpnsm_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_full", "fp_prefix64"
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_full,
+       md5(substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64)) AS fp_prefix64
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5.
+
+    Scores rounded to 6 dp in BOTH engines (summation-order tolerance); rank
+    computed on the rounded score with id tie-break so orderings agree.
+    """
+    from pyspark.sql import Window
+
+    from mpnsm_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_dot_product(q.q_vec, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (rows-only check: LSH banding is not
+    reasonably SQL-expressible; exact-Jaccard verification keeps it sound)."""
+    from mpnsm_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + blocking buckets (rows-only check)."""
+    from mpnsm_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: approximate by design)."""
+    from mpnsm_spark.operators.similarity import ivf_index, ivf_search, sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, n_centroids=16)
+    index = ivf_index(emb, cents)
+    return ivf_search(index, cents, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: synth media → Arrow feature extraction
+    (rows-only: decode is stubbed deterministically in this container)."""
+    from mpnsm_spark.operators.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, n=200))
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -516,6 +884,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "tpch_q1": q_tpch_q1,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
+        "iqr_outliers": q_iqr_outliers,
+        "tail_trim": q_tail_trim,
+        "cv_expanding": q_cv_expanding,
+        "config_inherit": q_config_inherit,
+        "changepoints": q_changepoints,
+        "dedup_exact": q_dedup_exact,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_buckets": q_simhash_buckets,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -536,4 +918,18 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_QUANTILES,
         "tpch_q1": SQL_TPCH_Q1,
         "gorilla_roundtrip_1m": SQL_GORILLA_1M,
+        "iqr_outliers": SQL_IQR,
+        "tail_trim": SQL_TAIL_TRIM,
+        "cv_expanding": SQL_CV,
+        "config_inherit": SQL_CONFIG,
+        # changepoints: no oracle (sequential greedy min-distance per series).
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_quality": SQL_DOC_QUALITY,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        # minhash_near_dups / simhash_buckets / ivf_topk / media_features:
+        # intentionally no oracle (LSH banding, 64-bit bit-fold, approximate
+        # search, and stubbed media decode are not SQL-expressible) → the
+        # driver records the weaker rows-only check for these four.
     }

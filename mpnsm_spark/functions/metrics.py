@@ -1,0 +1,60 @@
+"""Forecast-quality metric kernels as closed-form Spark aggregates.
+
+Reference analogs (``/root/reference/mpnsm/time_series/metrics.py``): WMAPE
+(``:249-283``), WeightedCI (``:130-149``), WMAPECI (combined), plus the
+grouped-metric dispatcher (``:57-60``). All are expressible as pure SQL
+aggregations (SURVEY.md A3/F3) — no UDF, codegen throughout — and can be
+evaluated per group via ``groupBy(...).agg(...)``.
+
+Each builder returns a Column so callers compose them:
+``df.groupBy("conv_id").agg(wmape("y", "yhat"), coverage("y", "lo", "hi"))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def wmape(y: str = "y", yhat: str = "yhat") -> Column:
+    """sum(|y - yhat|) / sum(|y|) — weighted mean absolute pct error."""
+    return (
+        F.sum(F.abs(F.col(y) - F.col(yhat))) / F.sum(F.abs(F.col(y)))
+    ).alias("wmape")
+
+
+def bias(y: str = "y", yhat: str = "yhat") -> Column:
+    """sum(yhat - y) / sum(|y|) — signed over/under-forecast mass."""
+    return (F.sum(F.col(yhat) - F.col(y)) / F.sum(F.abs(F.col(y)))).alias("bias")
+
+
+def coverage(y: str = "y", lo: str = "yhat_lower", hi: str = "yhat_upper") -> Column:
+    """Share of actuals inside the prediction interval (WeightedCI analog)."""
+    inside = F.when(
+        (F.col(y) >= F.col(lo)) & (F.col(y) <= F.col(hi)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (F.sum(inside) / F.count(F.lit(1))).alias("coverage")
+
+
+def weighted_ci(y: str = "y", lo: str = "yhat_lower", hi: str = "yhat_upper") -> Column:
+    """Interval-miss mass over actual mass: sum(dist outside interval)/sum(|y|)
+    — the reference's WeightedCI shape (``metrics.py:130-149``)."""
+    miss = F.when(F.col(y) > F.col(hi), F.col(y) - F.col(hi)).when(
+        F.col(y) < F.col(lo), F.col(lo) - F.col(y)
+    ).otherwise(F.lit(0.0))
+    return (F.sum(miss) / F.sum(F.abs(F.col(y)))).alias("weighted_ci")
+
+
+def mae(y: str = "y", yhat: str = "yhat") -> Column:
+    return F.avg(F.abs(F.col(y) - F.col(yhat))).alias("mae")
+
+
+def rmse(y: str = "y", yhat: str = "yhat") -> Column:
+    return F.sqrt(F.avg(F.pow(F.col(y) - F.col(yhat), 2))).alias("rmse")
+
+
+def grouped_metrics(
+    df: DataFrame, group_cols: list[str], metrics: list[Column]
+) -> DataFrame:
+    """Per-group metric evaluation (reference `metrics.py:57-60` dispatcher)."""
+    return df.groupBy(*group_cols).agg(*metrics)

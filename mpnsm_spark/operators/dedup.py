@@ -1,0 +1,225 @@
+"""Deduplication for training-data pipelines: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Scale-first design notes (100 TB):
+
+- **exact**: one hash-aggregate on md5(normalized text) — the only shuffle is
+  on the 16-byte digest, never the text.
+- **MinHash signatures are computed WITHOUT exploding shingles**: the shingle
+  array stays inside the row and ``array_min(transform(...))`` evaluates each
+  of the k hash functions JVM-side — zero shuffle until the LSH band explode,
+  which emits only ``n_bands`` (small) rows per doc. Candidate generation is a
+  self-join on (band_id, band_hash) — the classic banding trick, so the join
+  key cardinality stays high and skew-free.
+- **SimHash**: 64-bit signature folded from per-token hashes with an
+  aggregate over a 64-slot array accumulator — again no explode; near-dup
+  candidates bucket on the top bits.
+- **n-gram Jaccard** verifies candidate pairs with
+  ``array_intersect``/``array_union`` sizes — exact, and only on the
+  (LSH-pruned) candidate set, never all pairs.
+
+All built-in expressions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators.text import normalize_text
+
+
+# ------------------------------------------------------------------ exact dup
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per identical normalized text.
+
+    Output: one row per distinct text with ``keep_id`` and ``dup_count``.
+    """
+    fp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+# ------------------------------------------------------------------- shingles
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text (deduped, sorted
+    for deterministic downstream hashing); shorter docs yield the whole text
+    as a single shingle."""
+    toks = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+# -------------------------------------------------------------------- MinHash
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """k-permutation MinHash signature as an array<long> — no explode: each
+    hash function is an array_min over JVM-evaluated xxhash64(shingle, seed)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(F.col(text_col), ngram).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = sig.select(
+        "_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "shingles", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    blocking_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard within optional blocking groups.
+
+    Without LSH this is O(n²) per block — intended for oracle checking and
+    for small blocked groups (e.g. same fp_prefix64), not the full corpus.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(F.col(text_col), ngram).alias("sh"),
+        *( [F.col(blocking_col).alias("_blk")] if blocking_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if blocking_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jac.cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens, computed as an aggregate over a
+    64-slot sign accumulator (no explode, no UDF)."""
+    toks = F.split(normalize_text(text), " ")
+    # shift amounts must be int literals, so the 64 bit lanes are unrolled
+    # driver-side into one JVM expression tree (no per-row Python).
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for j in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # Fold votes back into a 64-bit signature: bit j set iff votes[j] > 0.
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit_val = F.lit(1 << j if j < 63 else -(2**63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(bit_votes, j + 1) > 0, bit_val).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+) -> DataFrame:
+    """Docs bucketed by the top ``prefix_bits`` of their SimHash — near-dup
+    blocking key (hamming-close docs usually share the prefix)."""
+    sig = simhash64(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        sig.alias("simhash"),
+        F.shiftrightunsigned(sig, 64 - prefix_bits).alias("bucket"),
+    )

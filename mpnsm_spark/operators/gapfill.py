@@ -69,15 +69,27 @@ def gapfill(
     )
     dense = grid.join(vals, ["conv_id", "bucket_start"], "left")
 
-    w = Window.partitionBy("conv_id").orderBy("bucket_start")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # Forward-looking anchors use a REVERSED-order prefix frame, not
+    # (currentRow, unboundedFollowing): Spark evaluates unbounded-FOLLOWING
+    # frames by reprocessing the remainder per row (O(n²) per partition — a
+    # single hot conversation straggles the whole stage), while unbounded-
+    # PRECEDING frames are O(n) running aggregates in both directions.
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("bucket_start").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     prev_v = F.last("_v", ignorenulls=True).over(w_prev)
-    next_v = F.first("_v", ignorenulls=True).over(w_next)
+    next_v = F.last("_v", ignorenulls=True).over(w_next)
     anchor_ts = F.when(F.col("_v").isNotNull(), F.unix_timestamp("bucket_start"))
     prev_t = F.last(anchor_ts, ignorenulls=True).over(w_prev)
-    next_t = F.first(anchor_ts, ignorenulls=True).over(w_next)
+    next_t = F.last(anchor_ts, ignorenulls=True).over(w_next)
     t = F.unix_timestamp("bucket_start")
 
     locf = F.coalesce(prev_v, next_v)  # ffill then head bfill

@@ -1,0 +1,142 @@
+"""Outlier & changepoint operators from the reference's fit pipeline.
+
+- :func:`iqr_outliers` — per-series IQR fence flags (reference quantile caps,
+  ``/root/reference/mpnsm/time_series/model.py:245-277``, ``utils.py:260-271``)
+  as pure SQL: one grouped quantile agg broadcast back via join.
+- :func:`tail_trim` — the reference's iterative alternating extreme-trim
+  (``utils.py:289-299``) in CLOSED FORM: dropping alternating extremes until
+  ≤ max_keep remain is equivalent to dropping ceil(k/2) from the top and
+  floor(k/2) from the bottom of the value order — two row_number windows, no
+  loop.
+- :func:`changepoints` — the reference's changepoint selection
+  (``utils.py:345-376``): smooth → second difference → top-k·margin by |d2| →
+  greedy min-distance filter. The greedy pass is inherently sequential per
+  series, so it runs inside the per-series pandas kernel
+  (``apply_per_series``) with all array math vectorized (SURVEY.md W10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators.skew import apply_per_series
+
+
+def iqr_outliers(
+    df: DataFrame,
+    key: str = "conv_id",
+    value_col: str = "value",
+    k: float = 1.5,
+) -> DataFrame:
+    """Flag rows outside [q1 - k·IQR, q3 + k·IQR] within their series."""
+    fences = df.groupBy(key).agg(
+        F.percentile(value_col, 0.25).alias("_q1"),
+        F.percentile(value_col, 0.75).alias("_q3"),
+    )
+    out = df.join(F.broadcast(fences), key)
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - k * iqr
+    hi = F.col("_q3") + k * iqr
+    return (
+        out.withColumn("is_outlier", (F.col(value_col) < lo) | (F.col(value_col) > hi))
+        .withColumn("fence_lo", lo)
+        .withColumn("fence_hi", hi)
+        .drop("_q1", "_q3")
+    )
+
+
+def tail_trim(
+    df: DataFrame,
+    max_keep: int,
+    key: str = "conv_id",
+    value_col: str = "value",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Keep ≤ max_keep rows per series by trimming alternating extremes.
+
+    Reference semantics (``utils.py:289-299``): repeatedly drop the current
+    max, then the current min, ... until ≤ max_keep remain (max dropped first
+    on odd trim counts). Closed form: with k = n - max_keep drops, remove the
+    top ceil(k/2) and bottom floor(k/2) by (value, order) rank.
+    """
+    w_cnt = Window.partitionBy(key)
+    asc = Window.partitionBy(key).orderBy(F.col(value_col).asc(), F.col(order_col).asc())
+    desc = Window.partitionBy(key).orderBy(F.col(value_col).desc(), F.col(order_col).desc())
+    out = (
+        df.withColumn("_n", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(desc))
+    )
+    k = F.greatest(F.col("_n") - F.lit(max_keep), F.lit(0))
+    drop_top = F.ceil(k / 2)
+    drop_bot = F.floor(k / 2)
+    return out.filter(
+        (F.col("_rd") > drop_top) & (F.col("_ra") > drop_bot)
+    ).drop("_n", "_ra", "_rd")
+
+
+CHANGEPOINT_SCHEMA = (
+    "conv_id string, bucket_start timestamp, score double, rank int"
+)
+
+
+def changepoints(
+    tier_df: DataFrame,
+    n_changepoints: int = 5,
+    min_distance: int = 3,
+    smooth_window: int = 3,
+    value_col: str = "value_avg",
+) -> DataFrame:
+    """Top-k changepoints per series with a minimum bucket distance.
+
+    Pipeline per series (vectorized numpy inside the grouped-map kernel):
+    centered rolling-mean smooth (W1) → second difference (W8) → candidates
+    sorted by |d2| → greedy accept while ≥ min_distance from accepted.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        n = len(vals)
+        if n < 3:
+            return pd.DataFrame(
+                columns=["conv_id", "bucket_start", "score", "rank"]
+            ).astype({"score": float, "rank": int})
+        sm = (
+            pd.Series(vals)
+            .rolling(smooth_window, center=True, min_periods=1)
+            .mean()
+            .to_numpy()
+        )
+        d2 = np.zeros(n)
+        d2[1:-1] = np.abs(sm[2:] - 2 * sm[1:-1] + sm[:-2])
+        order = np.argsort(-d2, kind="stable")
+        accepted: list[int] = []
+        for idx in order:
+            if d2[idx] <= 0:
+                break
+            if all(abs(idx - a) >= min_distance for a in accepted):
+                accepted.append(int(idx))
+                if len(accepted) == n_changepoints:
+                    break
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "bucket_start": pdf["bucket_start"].iloc[np.array(accepted, int)]
+                if accepted
+                else pd.Series([], dtype="datetime64[ns]"),
+                "score": d2[accepted] if accepted else [],
+                "rank": np.arange(1, len(accepted) + 1, dtype=np.int32)
+                if accepted
+                else [],
+            }
+        )
+
+    return apply_per_series(
+        tier_df.select("conv_id", "bucket_start", value_col),
+        kernel,
+        CHANGEPOINT_SCHEMA,
+        order_col="bucket_start",
+    )

@@ -1,0 +1,242 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. The query set is
+  broadcast; the corpus is scanned once; all arithmetic is JVM-side
+  (``zip_with`` + ``aggregate`` fold), no UDF, no shuffle until the final
+  per-query top-k window over scored rows.
+- ``ivf_*``: the scale path. Corpus vectors are assigned to their nearest
+  centroid (inverted file); a query probes only ``n_probe`` centroid buckets,
+  cutting the scanned fraction to ~n_probe/n_centroids. Centroids here are a
+  deterministic corpus sample (a k-means step can refine them later without
+  changing the query path).
+- ``cosine_near_dup_pairs``: random-hyperplane sign-LSH buckets, then exact
+  cosine within buckets — embedding near-duplicate detection for training-
+  data dedup.
+
+At 10^12-row design scale the IVF bucket column becomes the table's
+partition/cluster key so probes prune files; the brute-force path remains for
+oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, score).
+
+    Deterministic tie-break on neighbor id. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+# ------------------------------------------------------------------------ IVF
+
+
+def sample_centroids(
+    corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid pick: the n lowest xxhash64(id) corpus vectors
+    (a seeded pseudo-random but reproducible sample)."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col))).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def _nearest_centroids(vec: Column, centroids: Column, n: int) -> Column:
+    """Top-n centroid ids by cosine from an array<struct<centroid_id,centroid>>."""
+    scored = F.transform(
+        centroids,
+        lambda c: F.struct(
+            cosine(vec, c["centroid"]).alias("s"), c["centroid_id"].alias("cid")
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (bucket column)."""
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "centroid"))
+            ).alias("cents")
+        )
+    )
+    return (
+        corpus.crossJoin(cent_arr)
+        .withColumn("_best", _nearest_centroids(F.col(vec_col), F.col("cents"), 1)[0])
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_best.cid").alias("bucket"),
+        )
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest centroid buckets only."""
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "centroid"))
+            ).alias("cents")
+        )
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(cent_arr)
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.transform(
+                    _nearest_centroids(F.col("q_vec"), F.col("cents"), n_probe),
+                    lambda s: s["cid"],
+                )
+            ).alias("bucket"),
+        )
+    )
+    scored = (
+        index.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col(vec_col)).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+# ------------------------------------------------------- embedding near-dups
+
+
+def _hyperplane(dim: int, j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + j)
+    v = rng.standard_normal(dim)
+    return [float(x) for x in v]
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs: sign-LSH bucket join + exact cosine.
+
+    Two vectors land in the same bucket iff they agree on every hyperplane
+    sign — high-cosine pairs collide with high probability; the exact cosine
+    filter removes false positives (no false negatives for identical
+    vectors; raise n_planes to trade recall for candidate volume).
+    """
+    planes = [_hyperplane(dim, j) for j in range(n_planes)]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(
+                _dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in p]),
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in planes
+        ],
+    )
+    tagged = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

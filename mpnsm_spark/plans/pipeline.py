@@ -21,18 +21,29 @@ Iceberg this becomes MERGE INTO). Retention drops raw turns only after every
 tier/chunk stage is lineage-complete AND the per-turn text-equality invariant
 verifies (BASELINE.json ``input_hint``).
 
-Scale notes (100 TB): the wave loop is over salt buckets (driver-side list of
-ints, not data); each wave is one declarative Spark job over
-``bucket_id IN (...)`` — partition pruning applies when raw is stored
-bucket-partitioned. Stage outputs are tiny relative to raw (tier tables are
-≥60× smaller at 1m, chunks are compressed blobs). The only full raw scans are
-normalize and tier-1m; 1h/1d cascade from 1m.
+Execution model (why this scales):
+
+- **Clean-run fast path**: when a stage produced *all* buckets in this run,
+  its cached output is handed directly to dependent stages — no storage
+  read-back, no dedupe window. Storage reads (with keep-last dedupe) happen
+  only on resume, where prior snapshots exist.
+- **Thread-parallel stage DAG**: independent stages (chunks_1m ∥ tier_1h
+  chain ∥ retention) are submitted from driver threads; Spark's scheduler
+  interleaves their task sets, so the cluster never idles waiting on a
+  narrow stage's tail. TableIO commits are lock-serialized.
+- The wave loop is over salt buckets (a driver-side int list, not data); each
+  wave is one declarative Spark job over ``bucket_id IN (...)``. The only
+  full raw scans are normalize and tier-1m; 1h/1d cascade from 1m; stage
+  outputs are ≥60× smaller than raw.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -44,7 +55,6 @@ from mpnsm_spark.operators.gapfill import gapfill
 from mpnsm_spark.operators.gorilla import encode_tier_chunks
 from mpnsm_spark.operators.rollup import cascade, rollup_raw
 from mpnsm_spark.operators.skew import with_salt
-from mpnsm_spark.schema import LINEAGE_SCHEMA
 from mpnsm_spark.sources.tableio import TableIO
 
 LINEAGE_TABLE = "lineage"
@@ -86,88 +96,85 @@ def normalize(raw_df: DataFrame, num_buckets: int) -> DataFrame:
 # ------------------------------------------------------------------- lineage
 
 
-def completed_buckets(spark: SparkSession, io: TableIO, stage: str) -> set[int]:
+def load_lineage_map(spark: SparkSession, io: TableIO) -> dict[str, set[int]]:
+    """One storage read at pipeline start: stage → completed bucket ids."""
     if not io.exists(LINEAGE_TABLE):
-        return set()
+        return {}
     rows = (
         io.read(spark, LINEAGE_TABLE)
-        .filter((F.col("stage") == stage) & (F.col("status") == "ok"))
-        .select("bucket_id")
+        .filter(F.col("status") == "ok")
+        .select("stage", "bucket_id")
         .distinct()
         .collect()
     )
-    return {r.bucket_id for r in rows}
+    m: dict[str, set[int]] = defaultdict(set)
+    for r in rows:
+        m[r.stage].add(r.bucket_id)
+    return m
 
 
-def _lineage_rows(
-    spark: SparkSession,
+def completed_buckets(spark: SparkSession, io: TableIO, stage: str) -> set[int]:
+    return load_lineage_map(spark, io).get(stage, set())
+
+
+def _lineage_df(
     cfg: PipelineConfig,
     stage: str,
-    per_bucket: DataFrame,
+    per_bucket_stats: DataFrame,
     wall_seconds: float,
     version: int,
 ) -> DataFrame:
-    pdf = per_bucket.toPandas()
-    n = max(len(pdf), 1)
-    rows = [
+    """Lineage rows as a LAZY select over the per-bucket stats frame, so the
+    lineage append is ONE Spark job (no driver collect / re-create)."""
+    n_buckets = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    return per_bucket_stats.select(
+        F.lit(cfg.run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        F.col("input_rows").cast("long").alias("input_rows")
+        if "input_rows" in per_bucket_stats.columns
+        else F.lit(0).cast("long").alias("input_rows"),
+        F.col("output_rows").cast("long").alias("output_rows"),
         (
-            cfg.run_id,
-            stage,
-            int(r.bucket_id),
-            int(getattr(r, "input_rows", 0)),
-            int(getattr(r, "output_rows", 0)),
-            int(getattr(r, "encode_bytes", 0)),
-            float(wall_seconds / n),
-            "ok",
-            version,
-        )
-        for r in pdf.itertuples(index=False)
-    ]
-    return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+            F.col("encode_bytes")
+            if "encode_bytes" in per_bucket_stats.columns
+            else F.lit(0)
+        ).cast("long").alias("encode_bytes"),
+        (F.lit(float(wall_seconds)) / n_buckets).alias("wall_seconds"),
+        F.lit("ok").alias("status"),
+        F.lit(version).cast("int").alias("version"),
+    )
 
 
 # ---------------------------------------------------------------- read helpers
 
 
-def read_tier(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    """Tier table with keep-last dedupe (U2 cache-merge semantics)."""
-    w = Window.partitionBy("conv_id", "bucket_start").orderBy(F.col("_v").desc())
+def _dedupe_latest(df: DataFrame, keys: list[str]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.col("_v").desc())
     return (
-        io.read(spark, f"tier_{tier}")
-        .withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_v", "bucket_id")
     )
+
+
+def read_tier(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
+    """Tier table with keep-last dedupe (U2 cache-merge semantics)."""
+    return _dedupe_latest(io.read(spark, f"tier_{tier}"), ["conv_id", "bucket_start"])
 
 
 def read_chunks(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    w = Window.partitionBy("conv_id", "chunk_id").orderBy(F.col("_v").desc())
-    return (
-        io.read(spark, f"chunks_{tier}")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_v", "bucket_id")
-    )
+    return _dedupe_latest(io.read(spark, f"chunks_{tier}"), ["conv_id", "chunk_id"])
 
 
 def read_gapfill(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    w = Window.partitionBy("conv_id", "bucket_start").orderBy(F.col("_v").desc())
-    return (
-        io.read(spark, f"gapfill_{tier}")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_v", "bucket_id")
+    return _dedupe_latest(
+        io.read(spark, f"gapfill_{tier}"), ["conv_id", "bucket_start"]
     )
 
 
 def read_raw_retained(spark: SparkSession, io: TableIO) -> DataFrame:
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("_v").desc())
-    return (
-        io.read(spark, "raw_retained")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_v", "bucket_id")
-    )
+    return _dedupe_latest(io.read(spark, "raw_retained"), ["conv_id", "turn_idx"])
 
 
 # ------------------------------------------------------------------ integrity
@@ -223,112 +230,179 @@ def run_pipeline(
 ) -> dict:
     """Run (or resume) the full tier-materialization pipeline.
 
-    Returns a summary dict (per-stage bucket counts, wall time, throughput).
-    ``fail_after_stage`` injects a crash after that stage's first wave commits
-    — used by the kill/resume idempotence tests.
+    Returns a summary dict (per-stage remaining-bucket counts and wall times,
+    throughput). ``fail_after_stage`` injects a crash after that stage's first
+    wave commits — used by the kill/resume idempotence tests.
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
     norm = normalize(raw_df, cfg.num_buckets).cache()
     input_turns = norm.count()
+    done_map = load_lineage_map(spark, io)
+    all_buckets = set(range(cfg.num_buckets))
 
-    stages_run: dict[str, list[int]] = {}
+    lock = threading.Lock()
+    stages_run: dict[str, int] = {}
+    stage_seconds: dict[str, float] = {}
+    fresh_outputs: dict[str, DataFrame] = {}
+    cached: list[DataFrame] = [norm]
+    errors: list[BaseException] = []
+    futs: list = []
 
-    def waves(remaining: list[int]) -> list[list[int]]:
-        if not remaining:
-            return []
-        size = cfg.wave_size or len(remaining)
-        return [remaining[i : i + size] for i in range(0, len(remaining), size)]
+    def stage_table(stage: str) -> str:
+        return stage if stage != "retention" else "raw_retained"
 
-    def run_stage(stage: str, produce, count_cols=None) -> None:
-        """produce(bucket_subset_df_or_ids) -> output DataFrame with bucket_id."""
-        done = completed_buckets(spark, io, stage)
-        remaining = sorted(set(range(cfg.num_buckets)) - done)
-        stages_run[stage] = remaining
-        for wave in waves(remaining):
-            t0 = time.time()
+    def run_stage(stage: str, produce) -> None:
+        done = done_map.get(stage, set())
+        remaining = sorted(all_buckets - done)
+        with lock:
+            stages_run[stage] = len(remaining)
+        t0 = time.time()
+        fresh: list[DataFrame] = []
+        size = cfg.wave_size or max(len(remaining), 1)
+        for i in range(0, len(remaining), size):
+            wave = remaining[i : i + size]
             out = produce(wave).withColumn(
                 "_v", F.lit(io.snapshot_version(stage_table(stage)) + 1)
             )
             out = out.cache()
+            with lock:
+                cached.append(out)
+            version = io.append(
+                out.coalesce(max(4, cfg.num_buckets // 8)),
+                stage_table(stage),
+                meta={"stage": stage, "buckets": wave},
+            )
+            # Per-bucket lineage in ONE job: stats over the cached output,
+            # left-joined to the wave's bucket ids so empty buckets still get
+            # their completion row.
             stats = out.groupBy("bucket_id").agg(
                 F.count(F.lit(1)).alias("output_rows"),
                 *(
-                    [F.sum(F.length("ts_blob") + F.length("value_blob")).alias("encode_bytes")]
+                    [
+                        F.sum(
+                            F.length("ts_blob") + F.length("value_blob")
+                        ).alias("encode_bytes")
+                    ]
                     if stage.startswith("chunks_")
                     else []
                 ),
             )
-            # Buckets that produced zero rows still need lineage rows.
-            all_ids = spark.createDataFrame(
-                [(int(b),) for b in wave], "bucket_id int"
-            )
+            all_ids = spark.range(cfg.num_buckets).select(
+                F.col("id").cast("int").alias("bucket_id")
+            ).filter(F.col("bucket_id").isin([int(b) for b in wave]))
             stats = all_ids.join(stats, "bucket_id", "left").na.fill(0)
-            version = io.append(out, stage_table(stage), meta={"stage": stage, "buckets": wave})
             io.append(
-                _lineage_rows(spark, cfg, stage, stats, time.time() - t0, version),
+                _lineage_df(cfg, stage, stats, time.time() - t0, version).coalesce(1),
                 LINEAGE_TABLE,
             )
-            out.unpersist()
+            fresh.append(out)
             if fail_after_stage == stage:
                 raise StageFailure(f"injected failure after stage {stage}")
+        if not done and fresh:
+            full = fresh[0]
+            for f in fresh[1:]:
+                full = full.unionByName(f)
+            with lock:
+                fresh_outputs[stage] = full
+        with lock:
+            stage_seconds[stage] = round(time.time() - t0, 3)
 
-    def stage_table(stage: str) -> str:
-        return stage if not stage.startswith("retention") else "raw_retained"
+    def tier_source(tier: str) -> DataFrame:
+        """Cached fresh output when this run produced all buckets, else
+        storage read with keep-last dedupe (resume path)."""
+        with lock:
+            df = fresh_outputs.get(f"tier_{tier}")
+        if df is not None:
+            return df.drop("_v")
+        return with_salt(read_tier(spark, io, tier), cfg.num_buckets)
 
-    # --- tier cascade ---------------------------------------------------
+    def in_wave(wave):
+        return F.col("bucket_id").isin([int(b) for b in wave])
+
     def produce_1m(wave):
-        sub = norm.filter(F.col("bucket_id").isin([int(b) for b in wave]))
-        out = rollup_raw(sub, "1m")
-        return with_salt(out, cfg.num_buckets)
+        sub = norm.filter(in_wave(wave))
+        return with_salt(rollup_raw(sub, "1m"), cfg.num_buckets)
 
-    run_stage("tier_1m", produce_1m)
+    def make_cascade(tier: str, parent: str):
+        def produce(wave):
+            src = tier_source(parent).filter(in_wave(wave)).drop("bucket_id")
+            return with_salt(cascade(src, tier), cfg.num_buckets)
 
-    for tier in ("1h", "1d"):
-        parent = {"1h": "1m", "1d": "1h"}[tier]
+        return produce
 
-        def produce_cascade(wave, _parent=parent, _tier=tier):
-            src = read_tier(spark, io, _parent)
-            src = with_salt(src, cfg.num_buckets).filter(
-                F.col("bucket_id").isin([int(b) for b in wave])
-            ).drop("bucket_id")
-            return with_salt(cascade(src, _tier), cfg.num_buckets)
+    def make_gapfill(tier: str):
+        def produce(wave):
+            src = tier_source(tier).filter(in_wave(wave)).drop("bucket_id")
+            return with_salt(gapfill(src, tier), cfg.num_buckets)
 
-        run_stage(f"tier_{tier}", produce_cascade)
+        return produce
 
-    # --- gap-fill ---------------------------------------------------------
-    for tier in cfg.gapfill_tiers:
-
-        def produce_gapfill(wave, _tier=tier):
-            src = with_salt(read_tier(spark, io, _tier), cfg.num_buckets)
-            src = src.filter(F.col("bucket_id").isin([int(b) for b in wave])).drop(
-                "bucket_id"
+    def make_chunks(tier: str):
+        def produce(wave):
+            src = tier_source(tier).filter(in_wave(wave)).drop("bucket_id")
+            out = encode_tier_chunks(
+                src, tier, points_per_chunk=cfg.points_per_chunk
             )
-            return with_salt(gapfill(src, _tier), cfg.num_buckets)
-
-        run_stage(f"gapfill_{tier}", produce_gapfill)
-
-    # --- Gorilla chunks -----------------------------------------------------
-    for tier in TIERS:
-
-        def produce_chunks(wave, _tier=tier):
-            src = with_salt(read_tier(spark, io, _tier), cfg.num_buckets)
-            src = src.filter(F.col("bucket_id").isin([int(b) for b in wave])).drop(
-                "bucket_id"
-            )
-            out = encode_tier_chunks(src, _tier, points_per_chunk=cfg.points_per_chunk)
             return with_salt(out, cfg.num_buckets)
 
-        run_stage(f"chunks_{tier}", produce_chunks)
+        return produce
 
-    # --- retention ----------------------------------------------------------
     def produce_retention(wave):
-        sub = norm.filter(F.col("bucket_id").isin([int(b) for b in wave]))
+        sub = norm.filter(in_wave(wave))
         if cfg.retention_cutoff:
             sub = sub.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
         return sub
 
-    run_stage("retention", produce_retention)
+    def guarded(fn):
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — propagated after join
+            with lock:
+                errors.append(e)
+
+    def submit(fn):
+        with lock:
+            futs.append(ex.submit(guarded, fn))
+
+    # --- stage DAG -----------------------------------------------------------
+    # tier_1m is the root: everything depends on it, run it inline (its raw
+    # scan parallelizes across the cluster anyway).
+    try:
+        run_stage("tier_1m", produce_1m)
+    except StageFailure:
+        norm.unpersist()
+        raise
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+
+        def chain_1d():
+            run_stage("tier_1d", make_cascade("1d", "1h"))
+            if "1d" in cfg.gapfill_tiers:
+                submit(lambda: run_stage("gapfill_1d", make_gapfill("1d")))
+            submit(lambda: run_stage("chunks_1d", make_chunks("1d")))
+
+        def chain_1h():
+            run_stage("tier_1h", make_cascade("1h", "1m"))
+            if "1h" in cfg.gapfill_tiers:
+                submit(lambda: run_stage("gapfill_1h", make_gapfill("1h")))
+            submit(lambda: run_stage("chunks_1h", make_chunks("1h")))
+            submit(chain_1d)
+
+        submit(lambda: run_stage("chunks_1m", make_chunks("1m")))
+        submit(chain_1h)
+        submit(lambda: run_stage("retention", produce_retention))
+
+        while True:
+            with lock:
+                pending = [f for f in futs if not f.done()]
+            if not pending:
+                break
+            wait(pending)
+
+    if errors:
+        norm.unpersist()
+        raise errors[0]
 
     ok = verify_turn_integrity(
         spark,
@@ -341,12 +415,14 @@ def run_pipeline(
         raise StageFailure("per-turn text integrity check failed — raw NOT droppable")
 
     wall = time.time() - t_start
-    norm.unpersist()
+    for df in cached:
+        df.unpersist()
     return {
         "run_id": cfg.run_id,
         "input_turns": input_turns,
         "wall_seconds": wall,
         "turns_per_sec": input_turns / wall if wall > 0 else 0.0,
-        "stages": {k: len(v) for k, v in stages_run.items()},
+        "stages": stages_run,
+        "stage_seconds": stage_seconds,
         "integrity_ok": ok,
     }

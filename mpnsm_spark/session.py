@@ -41,7 +41,9 @@ def get_spark(
         # batches never blow executor memory (SURVEY.md §4 spill-to-disk note).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode = driver-only JVM: the heap must cover all concurrent
+        # task memory + cached tables, or high core counts GC-thrash.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

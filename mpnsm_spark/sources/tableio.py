@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -33,6 +34,9 @@ class TableIO:
         self.root = root
         self.iceberg = iceberg
         self.catalog_prefix = catalog_prefix
+        # Commits may come from concurrent driver threads (the pipeline runs
+        # independent stages in parallel); version assignment must be atomic.
+        self._lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- manifests
@@ -80,17 +84,18 @@ class TableIO:
                 shutil.move(os.path.join(staging, f), os.path.join(ddir, dst))
                 moved.append(dst)
         shutil.rmtree(staging, ignore_errors=True)
-        version = self.snapshot_version(table) + 1
-        manifest = {
-            "version": version,
-            "files": moved,
-            "committed_at": time.time(),
-            "meta": meta or {},
-        }
-        tmp = os.path.join(self._mdir(table), f".tmp_v{version}.json")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self._mdir(table), f"v{version}.json"))
+        with self._lock:
+            version = self.snapshot_version(table) + 1
+            manifest = {
+                "version": version,
+                "files": moved,
+                "committed_at": time.time(),
+                "meta": meta or {},
+            }
+            tmp = os.path.join(self._mdir(table), f".tmp_v{version}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(tmp, os.path.join(self._mdir(table), f"v{version}.json"))
         return version
 
     def overwrite(self, df: DataFrame, table: str, meta: dict | None = None) -> int:

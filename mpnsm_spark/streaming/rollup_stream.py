@@ -1,0 +1,112 @@
+"""Structured Streaming tier rollup — incremental continuous aggregates.
+
+The reference is strictly batch (SURVEY.md §2.9), but the engine's tier
+rollups are directly expressible as streaming tumbling-window aggregations:
+``groupBy(conv_id, window(ts, tier))`` with a watermark bounding how late a
+turn may arrive. This module provides that surface for incremental arrival:
+
+- late/out-of-order turns within the watermark update their bucket exactly
+  like the batch rollup (the aggregation state is keyed on (conv, window));
+- ``first/last by turn_idx`` is maintained with min_by/max_by — arrival-order
+  independent, matching batch semantics;
+- the sink is ``foreachBatch`` → TableIO append, so tier snapshots and
+  lineage stay on the same storage path as the batch pipeline.
+
+Streaming consistency contract (tested): for any finite input replayed as a
+stream, the streaming tier table equals the batch ``rollup_raw`` of the same
+rows, provided no row is later than the watermark.
+
+Scale notes: state size = open windows × conversations with traffic in them;
+the watermark bounds window lifetime so state is O(active convs × lateness /
+tier). Use the 1m tier streaming and cascade 1h/1d in batch from it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators.rollup import rollup_raw
+
+
+def streaming_rollup_1m(
+    stream_df: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming 1m tier aggregation (append mode once the watermark passes).
+
+    ``stream_df`` must be a streaming DataFrame with the transcript schema
+    plus ``value``. Output schema matches the batch tier table.
+    """
+    w = F.window("ts", "1 minute")
+    base = stream_df.withWatermark("ts", watermark)
+
+    def role_count(role: str):
+        return F.sum(F.when(F.col("role") == role, 1).otherwise(0)).alias(f"n_{role}")
+
+    return (
+        base.groupBy(F.col("conv_id"), w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.min("turn_idx").alias("first_turn_idx"),
+            F.max("turn_idx").alias("last_turn_idx"),
+            role_count("user"),
+            role_count("assistant"),
+            role_count("system"),
+            role_count("tool"),
+            F.array_sort(F.collect_set("tool")).alias("tools"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.min_by("value", "turn_idx").alias("first_value"),
+            F.max_by("value", "turn_idx").alias("last_value"),
+        )
+        .withColumn("distinct_tools", F.size("tools"))
+        .withColumn("value_avg", F.col("value_sum") / F.col("turn_count"))
+        .select(
+            "conv_id",
+            F.col("win.start").alias("bucket_start"),
+            "turn_count",
+            "first_turn_idx",
+            "last_turn_idx",
+            "n_user",
+            "n_assistant",
+            "n_system",
+            "n_tool",
+            "tools",
+            "distinct_tools",
+            "value_sum",
+            "value_min",
+            "value_max",
+            "value_avg",
+            "first_value",
+            "last_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark, stream_df: DataFrame, query_name: str = "tier_1m_stream"
+) -> DataFrame:
+    """Drive a finite source to completion through the streaming rollup and
+    return the materialized result (test/verification harness).
+
+    ``complete`` output mode: every trigger rewrites the full aggregate state,
+    so the memory table holds the final tier rows even for buckets whose
+    watermark never expired (finite replay).
+    """
+    agg = streaming_rollup_1m(stream_df)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def batch_equivalent(raw_df: DataFrame) -> DataFrame:
+    """The batch query a finite streaming replay must equal (consistency
+    oracle)."""
+    return rollup_raw(raw_df, "1m")

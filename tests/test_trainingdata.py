@@ -1,0 +1,214 @@
+"""Training-data operators: text analysis, dedup, similarity, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mpnsm_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- text ---
+
+
+def test_token_count_matches_python(spark, docs):
+    out = docs.select("doc_id", "text", text.token_count(F.col("text")).alias("n")).toPandas()
+    for _, r in out.head(50).iterrows():
+        assert r["n"] == len(r["text"].split()), r["text"][:50]
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("", 0), ("   ", 0), ("one", 1), ("a  b\t c", 3)], "t string, want int"
+    )
+    got = df.select("want", text.token_count(F.col("t")).alias("n")).toPandas()
+    assert (got["n"] == got["want"]).all()
+
+
+def test_lang_id_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is a friend of the house"),
+            (2, "der hund und die katze ist das tier"),
+            (3, "le chat et la maison est les amis"),
+            (4, "xyzzy qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_score_bounds(docs):
+    out = text.quality_score(docs).select("quality_score", "punct_ratio").toPandas()
+    assert out["quality_score"].between(0, 1).all()
+    assert out["punct_ratio"].between(0, 1).all()
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = text.fingerprint(df).toPandas()
+    fps = dict(zip(out["doc_id"], out["fp_full"]))
+    assert fps[1] == fps[2] != fps[3]  # normalization collapses case/space
+
+
+# ------------------------------------------------------------------ dedup ---
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same doc"), (2, "SAME   DOC"), (3, "other")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df).toPandas().sort_values("keep_id")
+    assert len(out) == 2
+    assert out.iloc[0]["keep_id"] == 1 and out.iloc[0]["dup_count"] == 2
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = df.select(dedup.word_ngrams(F.col("text"), 3).alias("g")).collect()[0]["g"]
+    assert sorted(out) == ["a b c", "b c d"]
+    tiny = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out2 = tiny.select(dedup.word_ngrams(F.col("text"), 3).alias("g")).collect()[0]["g"]
+    assert out2 == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # Plant near-duplicates: copy 5 docs with one word changed.
+    base = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(base)
+    pairs = dedup.minhash_lsh_pairs(corpus, jaccard_threshold=0.6).toPandas()
+    planted = set(zip(pairs["id_a"], pairs["id_b"]))
+    found = sum((d, d + 100000) in planted for d in docs.limit(5).toPandas()["doc_id"])
+    assert found >= 4  # LSH is probabilistic; ≥4/5 planted pairs recovered
+    assert (pairs["jaccard"] >= 0.6).all()
+
+
+def test_minhash_pairs_verified_by_exact_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words entirely unrelated text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    lsh = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.3).toPandas()
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    assert set(zip(lsh["id_a"], lsh["id_b"])) <= set(zip(exact["id_a"], exact["id_b"]))
+    assert (1, 2) in set(zip(exact["id_a"], exact["id_b"]))
+
+
+def test_simhash_near_dup_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            (3, "entirely unrelated content about spark query planning and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_buckets(df, prefix_bits=8).toPandas().set_index("doc_id")
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+    assert ham(out.loc[1, "simhash"], out.loc[2, "simhash"]) < ham(
+        out.loc[1, "simhash"], out.loc[3, "simhash"]
+    )
+
+
+# ------------------------------------------------------------- similarity ---
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        scores = mat_n @ mat_n[qi]
+        order = sorted(
+            [(s, i) for s, i in zip(scores, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want = [i for _, i in order]
+        have = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert have == want, f"query {qid}: {have} vs {want}"
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    cents = similarity.sample_centroids(emb, n_centroids=8)
+    index = similarity.ivf_index(emb, cents).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=3).toPandas()
+    approx = similarity.ivf_search(index, cents, queries, k=3, n_probe=4).toPandas()
+    # recall@3 with half the buckets probed should be decent on random data
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[q] & a.get(q, set())) / 3 for q in e.index])
+    assert recall >= 0.5, recall
+    # every bucket assignment exists and bounded
+    assert index.select("bucket").distinct().count() <= 8
+
+
+def test_cosine_near_dup_pairs_find_identical(spark, emb):
+    dup = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    pairs = similarity.cosine_near_dup_pairs(corpus, dim=64, threshold=0.999).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= got
+
+
+# -------------------------------------------------------------- multimodal ---
+
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    f1 = multimodal.extract_features(media).toPandas().sort_values("media_id")
+    f2 = multimodal.extract_features(media).toPandas().sort_values("media_id")
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1["features"])
+    assert [list(a) for a in f1["features"]] == [list(a) for a in f2["features"]]
+
+
+def test_media_strict_raises(spark):
+    media = multimodal.synthesize_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample_expands_videos(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    frames = multimodal.frame_sample(media, every_ms=1000).toPandas()
+    vids = media.filter("kind='video'").toPandas()
+    want = sum(int(np.ceil(d / 1000)) for d in vids["duration_ms"])
+    assert len(frames) == want
+    assert frames["frame_digest"].nunique() == len(frames)
+
+
+def test_media_stats_sql_only(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    out = multimodal.media_stats(media).toPandas().set_index("kind")
+    assert set(out.index) == {"image", "audio", "video"}
+    assert (out["n"] == 10).all()
