@@ -499,6 +499,56 @@ FROM events GROUP BY 1, 2
 # --------------------------------------------------- reference-parity extras
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON: parse the props payload (from_json ↔ json_extract)."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.withColumn("k", F.from_json("props", schema)["k"])
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+def q_rolling_sum_minperiods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: trailing 5-row rolling sum that is NULL until the window is full
+    (pandas min_periods=window semantics via a parallel count guard)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    s = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id", "event_id", F.when(n == 5, s).alias("roll_sum_full")
+    )
+
+
+SQL_ROLLING_MINP = """
+SELECT user_id, event_id,
+       CASE WHEN count(*) OVER w = 5
+            THEN CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) END AS roll_sum_full
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+P6: per-user IQR fence outlier flags (reference quantile caps)."""
     from mpnsm_spark.operators.outliers import iqr_outliers
@@ -884,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "tpch_q1": q_tpch_q1,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
+        "json_props": q_json_props,
+        "rolling_sum_minperiods": q_rolling_sum_minperiods,
         "iqr_outliers": q_iqr_outliers,
         "tail_trim": q_tail_trim,
         "cv_expanding": q_cv_expanding,
@@ -918,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_QUANTILES,
         "tpch_q1": SQL_TPCH_Q1,
         "gorilla_roundtrip_1m": SQL_GORILLA_1M,
+        "json_props": SQL_JSON_PROPS,
+        "rolling_sum_minperiods": SQL_ROLLING_MINP,
         "iqr_outliers": SQL_IQR,
         "tail_trim": SQL_TAIL_TRIM,
         "cv_expanding": SQL_CV,

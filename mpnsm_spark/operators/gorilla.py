@@ -230,64 +230,99 @@ def decode_values(blob: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------- Spark wiring
 
 
+def _encode_frame(pdf: pd.DataFrame, tier: str, span: int) -> pd.DataFrame:
+    """Encode a sorted (conv_id, bucket_start) frame into chunk rows.
+
+    Group boundaries come from np.unique-style change detection over the
+    (conv, chunk_id) pair — one vectorized pass regardless of how many
+    conversations the frame holds; only the per-chunk encode loop is Python,
+    and its body is fully vectorized numpy.
+    """
+    ts_all = (
+        pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).to_numpy()
+    vals_all = pdf["_v"].to_numpy(np.float64)
+    convs = pdf["conv_id"].to_numpy()
+    chunk_ids = ts_all // span
+    changed = np.flatnonzero((convs[1:] != convs[:-1]) | (chunk_ids[1:] != chunk_ids[:-1])) + 1
+    rows: dict[str, list] = {
+        "conv_id": [], "chunk_id": [], "range_start": [], "range_end": [],
+        "n_points": [], "ts_blob": [], "value_blob": [],
+    }
+    starts = np.concatenate(([0], changed))
+    for seg_ts, seg_vals, s in zip(
+        np.split(ts_all, changed), np.split(vals_all, changed), starts
+    ):
+        rows["conv_id"].append(convs[s])
+        rows["chunk_id"].append(int(seg_ts[0] // span))
+        rows["range_start"].append(seg_ts[0])
+        rows["range_end"].append(seg_ts[-1])
+        rows["n_points"].append(len(seg_ts))
+        rows["ts_blob"].append(encode_timestamps(seg_ts))
+        rows["value_blob"].append(encode_values(seg_vals))
+    out = pd.DataFrame(rows)
+    out.insert(1, "tier", tier)
+    out["range_start"] = pd.to_datetime(out["range_start"], unit="s")
+    out["range_end"] = pd.to_datetime(out["range_end"], unit="s")
+    return out
+
+
 def encode_tier_chunks(
     tier_df: DataFrame,
     tier: str,
     value_col: str = "value_avg",
     points_per_chunk: int = 4096,
-    chunks_per_group: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Tier table → Gorilla chunk table via grouped-map pandas UDF.
+    """Tier table → Gorilla chunk table via partition-wise Arrow streaming.
 
     Chunk boundaries are fixed time ranges (``chunk_id = epoch // span``), so a
-    chunk holds ≤ points_per_chunk points by construction. To amortize the
-    per-group Python/Arrow overhead, the UDF receives a *super-group* of up to
-    ``chunks_per_group`` consecutive chunks (group size still bounded:
-    ≤ points_per_chunk × chunks_per_group rows) and splits/encodes them with a
-    small in-UDF loop whose per-chunk work is fully vectorized.
+    chunk holds ≤ points_per_chunk points by construction — a hot conversation
+    becomes many chunks, never one giant group (skew-safe by design).
+
+    Execution: repartition by conv_id + in-partition sort, then ONE
+    ``mapInPandas`` pass per partition — Python is invoked per Arrow batch
+    (~64k rows), not per conversation, which matters when conversations are
+    small (10^8 tiny groups would pay ~10ms grouped-map overhead each). A
+    conversation/chunk spanning an Arrow batch boundary is carried over inside
+    the iterator, so results are identical regardless of batch size.
     """
     span = TIER_SECONDS[tier] * points_per_chunk
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id = key[0]
-        pdf = pdf.sort_values("bucket_start")
-        ts_all = (
-            pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
-        ).to_numpy()
-        vals_all = pdf["_v"].to_numpy(np.float64)
-        chunk_ids = ts_all // span
-        bounds = np.flatnonzero(np.diff(chunk_ids)) + 1
-        rows: dict[str, list] = {
-            "chunk_id": [], "range_start": [], "range_end": [],
-            "n_points": [], "ts_blob": [], "value_blob": [],
-        }
-        for seg_ts, seg_vals in zip(
-            np.split(ts_all, bounds), np.split(vals_all, bounds)
-        ):
-            rows["chunk_id"].append(int(seg_ts[0] // span))
-            rows["range_start"].append(seg_ts[0])
-            rows["range_end"].append(seg_ts[-1])
-            rows["n_points"].append(len(seg_ts))
-            rows["ts_blob"].append(encode_timestamps(seg_ts))
-            rows["value_blob"].append(encode_values(seg_vals))
-        out = pd.DataFrame(rows)
-        out.insert(0, "tier", tier)
-        out.insert(0, "conv_id", conv_id)
-        out["range_start"] = pd.to_datetime(out["range_start"], unit="s")
-        out["range_end"] = pd.to_datetime(out["range_end"], unit="s")
-        return out
+    def encode_stream(batches):
+        rest: pd.DataFrame | None = None
+        for pdf in batches:
+            if rest is not None and len(rest):
+                pdf = pd.concat([rest, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (conv, chunk) group — it may continue
+            # into the next Arrow batch
+            ts = (
+                pdf["bucket_start"].astype("datetime64[ns]").astype("int64")
+                // 10**9
+            ).to_numpy()
+            key_last = (pdf["conv_id"].to_numpy() == pdf["conv_id"].iloc[-1]) & (
+                ts // span == ts[-1] // span
+            )
+            # rows of the final group are exactly the trailing run of key_last
+            tail_start = len(pdf) - int(key_last[::-1].argmin() or len(pdf))
+            if tail_start == 0:
+                rest = pdf
+                continue
+            head, rest = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            yield _encode_frame(head, tier, span)
+        if rest is not None and len(rest):
+            yield _encode_frame(rest, tier, span)
 
-    prepared = tier_df.select(
-        "conv_id",
-        "bucket_start",
-        F.col(value_col).alias("_v"),
-        (F.unix_timestamp("bucket_start") / F.lit(span * chunks_per_group))
-        .cast("long")
-        .alias("super_id"),
+    prepared = (
+        tier_df.select("conv_id", "bucket_start", F.col(value_col).alias("_v"))
+        .repartition(
+            *( [num_partitions] if num_partitions else [] ), "conv_id"
+        )
+        .sortWithinPartitions("conv_id", "bucket_start")
     )
-    return prepared.groupBy("conv_id", "super_id").applyInPandas(
-        encode_group, CHUNK_SCHEMA
-    )
+    return prepared.mapInPandas(encode_stream, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunk_df: DataFrame) -> DataFrame:

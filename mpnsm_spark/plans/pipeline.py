@@ -85,11 +85,15 @@ def normalize(raw_df: DataFrame, num_buckets: int) -> DataFrame:
     """
     df = with_value(raw_df) if "value" not in raw_df.columns else raw_df
     df = with_salt(df, num_buckets)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").desc())
+    # Keep-last as a hash aggregate, NOT a row_number window: (conv, turn) is
+    # near-unique, so a window means millions of one-row sort partitions
+    # (WindowExec per-partition overhead dominates); max_by gets map-side
+    # partial aggregation and no sort.
+    others = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct(*others), F.col("ts")).alias("_r"))
+        .select("conv_id", "turn_idx", *[F.col(f"_r.{c}").alias(c) for c in others])
     )
 
 
@@ -149,32 +153,38 @@ def _lineage_df(
 # ---------------------------------------------------------------- read helpers
 
 
-def _dedupe_latest(df: DataFrame, keys: list[str]) -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(F.col("_v").desc())
+def _latest_snapshot(df: DataFrame) -> DataFrame:
+    """Keep each bucket's rows from its LATEST committed snapshot.
+
+    The commit unit is (bucket_id, snapshot version): a bucket's rows are
+    always fully contained in one snapshot, and a crash-between-data-and-
+    lineage re-run rewrites the whole bucket at a higher version with
+    identical content. Filtering to max(_v) per bucket is therefore exact
+    keep-last dedupe (U2) — and it costs one tiny broadcast join instead of a
+    per-row row_number window over the whole table."""
+    latest = df.groupBy("bucket_id").agg(F.max("_v").alias("_vmax"))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_v", "bucket_id")
+        df.join(F.broadcast(latest), "bucket_id")
+        .filter(F.col("_v") == F.col("_vmax"))
+        .drop("_v", "_vmax", "bucket_id")
     )
 
 
 def read_tier(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    """Tier table with keep-last dedupe (U2 cache-merge semantics)."""
-    return _dedupe_latest(io.read(spark, f"tier_{tier}"), ["conv_id", "bucket_start"])
+    """Tier table with keep-last snapshot dedupe (U2 cache-merge semantics)."""
+    return _latest_snapshot(io.read(spark, f"tier_{tier}"))
 
 
 def read_chunks(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    return _dedupe_latest(io.read(spark, f"chunks_{tier}"), ["conv_id", "chunk_id"])
+    return _latest_snapshot(io.read(spark, f"chunks_{tier}"))
 
 
 def read_gapfill(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    return _dedupe_latest(
-        io.read(spark, f"gapfill_{tier}"), ["conv_id", "bucket_start"]
-    )
+    return _latest_snapshot(io.read(spark, f"gapfill_{tier}"))
 
 
 def read_raw_retained(spark: SparkSession, io: TableIO) -> DataFrame:
-    return _dedupe_latest(io.read(spark, "raw_retained"), ["conv_id", "turn_idx"])
+    return _latest_snapshot(io.read(spark, "raw_retained"))
 
 
 # ------------------------------------------------------------------ integrity
@@ -192,11 +202,13 @@ def verify_turn_integrity(
     stored = read_raw_retained(spark, io)
 
     def checksum(df: DataFrame) -> DataFrame:
-        # bit_xor is commutative/associative and overflow-free under ANSI mode;
-        # (conv_id, turn_idx) is unique post-dedupe so pairwise cancellation
-        # of identical rows cannot occur.
+        # Multiset checksum: hashes are computed map-side so only (conv, chk)
+        # crosses the shuffle — the text column itself NEVER shuffles. bit_xor
+        # is commutative/associative and overflow-free under ANSI mode;
+        # identical duplicate rows cancel on BOTH sides equally, so equality
+        # still holds.
         return df.groupBy("conv_id").agg(
-            F.bit_xor(F.xxhash64("turn_idx", "text")).alias("chk"),
+            F.bit_xor(F.xxhash64("turn_idx", "text", "ts")).alias("chk"),
             F.count(F.lit(1)).alias("n"),
         )
 
@@ -236,8 +248,26 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
-    norm = normalize(raw_df, cfg.num_buckets).cache()
+    # Scale-critical split: the wide text column NEVER crosses a shuffle.
+    # - raw_aug: salted raw rows incl. text — consumed only by map-only
+    #   stages (retention write, map-side integrity hashes);
+    # - norm: keep-last-deduped NARROW rows (no text) — the shuffled input
+    #   to the tier cascade. Shuffling text made normalize memory-bandwidth
+    #   bound and killed core scaling.
+    raw_aug = with_salt(
+        with_value(raw_df) if "value" not in raw_df.columns else raw_df,
+        cfg.num_buckets,
+    )
+    narrow = raw_aug.drop("text")
+    others = [c for c in narrow.columns if c not in ("conv_id", "turn_idx")]
+    norm = (
+        narrow.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct(*others), F.col("ts")).alias("_r"))
+        .select("conv_id", "turn_idx", *[F.col(f"_r.{c}").alias(c) for c in others])
+        .cache()
+    )
     input_turns = norm.count()
+    t_norm_done = time.time()
     done_map = load_lineage_map(spark, io)
     all_buckets = set(range(cfg.num_buckets))
 
@@ -265,13 +295,19 @@ def run_pipeline(
             out = produce(wave).withColumn(
                 "_v", F.lit(io.snapshot_version(stage_table(stage)) + 1)
             )
-            out = out.cache()
-            with lock:
-                cached.append(out)
+            if stage != "retention":
+                # retention output is the full raw text table — caching it
+                # would evict everything else for rows nothing re-reads
+                out = out.cache()
+                with lock:
+                    cached.append(out)
+            # Small stage outputs coalesce to limit file count; the retention
+            # stage rewrites the (large) raw table and must keep full write
+            # parallelism — capping it serializes the biggest I/O in the job.
+            write_width = max(spark.sparkContext.defaultParallelism, 16)
+            to_write = out if stage == "retention" else out.coalesce(write_width)
             version = io.append(
-                out.coalesce(max(4, cfg.num_buckets // 8)),
-                stage_table(stage),
-                meta={"stage": stage, "buckets": wave},
+                to_write, stage_table(stage), meta={"stage": stage, "buckets": wave}
             )
             # Per-bucket lineage in ONE job: stats over the cached output,
             # left-joined to the wave's bucket ids so empty buckets still get
@@ -292,10 +328,11 @@ def run_pipeline(
                 F.col("id").cast("int").alias("bucket_id")
             ).filter(F.col("bucket_id").isin([int(b) for b in wave]))
             stats = all_ids.join(stats, "bucket_id", "left").na.fill(0)
-            io.append(
-                _lineage_df(cfg, stage, stats, time.time() - t0, version).coalesce(1),
-                LINEAGE_TABLE,
-            )
+            lineage = _lineage_df(cfg, stage, stats, time.time() - t0, version)
+            # Lineage commits AFTER the data (crash between them only re-runs
+            # the bucket) but OFF the critical path: dependents need the data,
+            # not the lineage row.
+            submit(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
             fresh.append(out)
             if fail_after_stage == stage:
                 raise StageFailure(f"injected failure after stage {stage}")
@@ -349,7 +386,9 @@ def run_pipeline(
         return produce
 
     def produce_retention(wave):
-        sub = norm.filter(in_wave(wave))
+        # Map-only: filter + write, no shuffle of text. Input duplicates (if
+        # any) are retained as-arrived; consumers dedupe on read.
+        sub = raw_aug.filter(in_wave(wave))
         if cfg.retention_cutoff:
             sub = sub.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
         return sub
@@ -366,32 +405,29 @@ def run_pipeline(
             futs.append(ex.submit(guarded, fn))
 
     # --- stage DAG -----------------------------------------------------------
-    # tier_1m is the root: everything depends on it, run it inline (its raw
-    # scan parallelizes across the cluster anyway).
-    try:
-        run_stage("tier_1m", produce_1m)
-    except StageFailure:
-        norm.unpersist()
-        raise
+    # tier_1m is the root: everything depends on it, run it inline in the main
+    # thread (its raw scan parallelizes across the cluster anyway); dependent
+    # stages + all lineage commits go through the driver-thread pool.
+    with ThreadPoolExecutor(max_workers=12) as ex:
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+        def chain_tier(tier: str, parent: str):
+            def run():
+                run_stage(f"tier_{tier}", make_cascade(tier, parent))
+                if tier in cfg.gapfill_tiers:
+                    submit(lambda: run_stage(f"gapfill_{tier}", make_gapfill(tier)))
+                submit(lambda: run_stage(f"chunks_{tier}", make_chunks(tier)))
 
-        def chain_1d():
-            run_stage("tier_1d", make_cascade("1d", "1h"))
-            if "1d" in cfg.gapfill_tiers:
-                submit(lambda: run_stage("gapfill_1d", make_gapfill("1d")))
-            submit(lambda: run_stage("chunks_1d", make_chunks("1d")))
+            return run
 
-        def chain_1h():
-            run_stage("tier_1h", make_cascade("1h", "1m"))
-            if "1h" in cfg.gapfill_tiers:
-                submit(lambda: run_stage("gapfill_1h", make_gapfill("1h")))
-            submit(lambda: run_stage("chunks_1h", make_chunks("1h")))
-            submit(chain_1d)
-
-        submit(lambda: run_stage("chunks_1m", make_chunks("1m")))
-        submit(chain_1h)
-        submit(lambda: run_stage("retention", produce_retention))
+        guarded(lambda: run_stage("tier_1m", produce_1m))
+        if not errors:
+            submit(lambda: run_stage("chunks_1m", make_chunks("1m")))
+            # Both cascades hang off the cached 1m tier so they parallelize;
+            # 1d-from-1m is exactly consistent with 1d-from-1h (associative
+            # columns) and keeps the critical path two stages deep.
+            submit(chain_tier("1h", "1m"))
+            submit(chain_tier("1d", "1m"))
+            submit(lambda: run_stage("retention", produce_retention))
 
         while True:
             with lock:
@@ -404,12 +440,13 @@ def run_pipeline(
         norm.unpersist()
         raise errors[0]
 
+    t_dag_done = time.time()
     ok = verify_turn_integrity(
         spark,
         io,
-        norm.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
+        raw_aug.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
         if cfg.retention_cutoff
-        else norm,
+        else raw_aug,
     )
     if not ok:
         raise StageFailure("per-turn text integrity check failed — raw NOT droppable")
@@ -424,5 +461,10 @@ def run_pipeline(
         "turns_per_sec": input_turns / wall if wall > 0 else 0.0,
         "stages": stages_run,
         "stage_seconds": stage_seconds,
+        "phase_seconds": {
+            "normalize": round(t_norm_done - t_start, 3),
+            "stage_dag": round(t_dag_done - t_norm_done, 3),
+            "integrity": round(wall - (t_dag_done - t_start), 3),
+        },
         "integrity_ok": ok,
     }

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Default 64MB advisory size lets AQE coalesce mid-size shuffles to
+        # fewer tasks than cores, idling the cluster; 8MB keeps reduce stages
+        # wide enough to pack all cores (raise on a real 100TB cluster).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

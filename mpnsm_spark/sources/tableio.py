@@ -69,19 +69,46 @@ class TableIO:
         return files
 
     # ------------------------------------------------------------ operations
-    def append(self, df: DataFrame, table: str, meta: dict | None = None) -> int:
-        """Append ``df`` as a new snapshot; returns the snapshot version."""
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Append ``df`` as a new snapshot; returns the snapshot version.
+
+        ``partition_by`` hive-partitions the snapshot's files (S6 threaded
+        partitioned save analog — Spark writes partition dirs concurrently).
+        """
         if self.iceberg:
             df.writeTo(f"{self.catalog_prefix}{table}").append()
             return -1
+        # A table's snapshots must share one layout (flat vs hive-partitioned):
+        # mixing them makes partition-column recovery ambiguous on read.
+        prior = self._committed_files(table)
+        if prior:
+            prior_partitioned = any("/" in f for f in prior)
+            if prior_partitioned != bool(partition_by):
+                raise ValueError(
+                    f"table {table}: cannot mix partitioned and flat snapshots"
+                )
         staging = os.path.join(self.root, table, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         ddir = self._ddir(table)
         moved = []
-        for f in os.listdir(staging):
-            if f.endswith(".parquet"):
-                dst = f"snap_{uuid.uuid4().hex}_{f}"
-                shutil.move(os.path.join(staging, f), os.path.join(ddir, dst))
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                sub = "" if rel == "." else rel + "/"
+                os.makedirs(os.path.join(ddir, sub), exist_ok=True)
+                dst = f"{sub}snap_{uuid.uuid4().hex}_{f}"
+                shutil.move(os.path.join(dirpath, f), os.path.join(ddir, dst))
                 moved.append(dst)
         shutil.rmtree(staging, ignore_errors=True)
         with self._lock:
@@ -116,7 +143,11 @@ class TableIO:
         if not files:
             raise FileNotFoundError(f"table {table} has no committed snapshots")
         ddir = self._ddir(table)
-        return spark.read.parquet(*[os.path.join(ddir, f) for f in files])
+        reader = spark.read
+        if any("/" in f for f in files):
+            # hive-partitioned snapshot files: recover partition columns
+            reader = reader.option("basePath", ddir)
+        return reader.parquet(*[os.path.join(ddir, f) for f in files])
 
     def exists(self, table: str) -> bool:
         return self.snapshot_version(table) > 0

@@ -29,25 +29,79 @@ import tempfile
 import time
 
 
+class _StealSampler:
+    """Samples hypervisor CPU-steal % while a measurement runs — this sandbox
+    is a shared microVM; steal bursts are the dominant noise source and hit
+    wide (32-thread) runs much harder than narrow ones."""
+
+    def __init__(self):
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _read(self):
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = list(map(int, parts[1:]))
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
+    def _run(self):
+        prev_tot, prev_st = self._read()
+        while not self._stop.wait(2.0):
+            tot, st = self._read()
+            if tot > prev_tot:
+                self.samples.append(100.0 * (st - prev_st) / (tot - prev_tot))
+            prev_tot, prev_st = tot, st
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+
+    def stats(self) -> dict:
+        if not self.samples:
+            return {"steal_avg_pct": 0.0, "steal_max_pct": 0.0}
+        return {
+            "steal_avg_pct": round(sum(self.samples) / len(self.samples), 2),
+            "steal_max_pct": round(max(self.samples), 2),
+        }
+
+
 def child(bronze: str, cores: int, out_path: str) -> None:
     from mpnsm_spark.plans.pipeline import PipelineConfig, run_pipeline
     from mpnsm_spark.session import get_spark
     from mpnsm_spark.sources.tableio import TableIO
 
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 2)
+    # Shuffle/spill and warehouse on tmpfs (RAM-rich box, single slow virtio
+    # disk; a real cluster has parallel S3/HDFS) — applied identically at BOTH
+    # core counts so the comparison stays fair.
+    shm = "/dev/shm/spark_local"
+    os.makedirs(shm, exist_ok=True)
+    spark = get_spark(
+        f"scaling_{cores}",
+        cores=cores,
+        shuffle_partitions=cores * 2,
+        extra_conf={"spark.local.dir": shm},
+    )
     raw = spark.read.parquet(bronze)
-    wh = tempfile.mkdtemp(prefix=f"scal_wh_{cores}_")
+    wh = tempfile.mkdtemp(prefix=f"scal_wh_{cores}_", dir="/dev/shm")
     try:
-        t0 = time.time()
-        # num_buckets is part of the WORKLOAD (commit granularity), so it is
-        # held constant across core counts; only parallelism varies.
-        summary = run_pipeline(
-            spark,
-            raw,
-            TableIO(wh),
-            PipelineConfig(num_buckets=64, points_per_chunk=4096),
-        )
-        wall = time.time() - t0
+        with _StealSampler() as steal:
+            t0 = time.time()
+            # num_buckets is part of the WORKLOAD (commit granularity), so it
+            # is held constant across core counts; only parallelism varies.
+            summary = run_pipeline(
+                spark,
+                raw,
+                TableIO(wh),
+                PipelineConfig(num_buckets=64, points_per_chunk=4096),
+            )
+            wall = time.time() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     with open(out_path, "w") as fh:
@@ -57,10 +111,19 @@ def child(bronze: str, cores: int, out_path: str) -> None:
                 "wall_seconds": round(wall, 3),
                 "input_turns": summary["input_turns"],
                 "turns_per_sec": round(summary["input_turns"] / wall, 1),
+                **steal.stats(),
             },
             fh,
         )
     spark.stop()
+
+
+def _burn(seconds: float) -> int:
+    t = time.time()
+    x = 0
+    while time.time() - t < seconds:
+        x += 1
+    return x
 
 
 def cpu_capacity(n: int, seconds: float = 3.0) -> float:
@@ -68,15 +131,8 @@ def cpu_capacity(n: int, seconds: float = 3.0) -> float:
     reality check: frequency scaling means 4× cores < 4× capacity)."""
     import multiprocessing as mp
 
-    def burn(_):
-        t = time.time()
-        x = 0
-        while time.time() - t < seconds:
-            x += 1
-        return x
-
     with mp.Pool(n) as p:
-        return float(sum(p.map(burn, range(n))))
+        return float(sum(p.map(_burn, [seconds] * n)))
 
 
 def main() -> None:
@@ -94,7 +150,8 @@ def main() -> None:
         child(args.bronze, args.child_cores, args.out)
         return
 
-    tmp = tempfile.mkdtemp(prefix="scaling_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="scaling_", dir=base)
     bronze = os.path.join(tmp, "bronze")
     try:
         from mpnsm_spark.generator import generate_transcripts
@@ -125,6 +182,7 @@ def main() -> None:
                 )
                 with open(out) as fh:
                     r = json.load(fh)
+                print(f"run cores={cores} rep={rep}: {r}", flush=True)
                 if best is None or r["wall_seconds"] < best["wall_seconds"]:
                     best = r
             results.append(best)
