@@ -480,7 +480,9 @@ def q_gorilla_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast(DEC)).alias("s"))
         .withColumn("value_avg", F.col("s").cast("double") / F.col("n"))
     )
-    chunks = encode_tier_chunks(t1m, "1m", points_per_chunk=2048)
+    # events are sparse (~1 point / 15 min / user): a large chunk span keeps
+    # chunks dense enough that per-chunk decode overhead stays amortized
+    chunks = encode_tier_chunks(t1m, "1m", points_per_chunk=65536)
     return decode_chunks(chunks).select(
         F.col("conv_id").cast("bigint").alias("user_id"),
         "bucket_start",
