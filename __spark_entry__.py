@@ -266,8 +266,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -522,7 +522,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_PROPS = """
 SELECT event_type,
        count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
@@ -910,10 +910,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: synth media → Arrow feature extraction
-    (rows-only: decode is stubbed deterministically in this container)."""
+    (rows-only: decode is stubbed deterministically in this container).
+
+    The feature vector is emitted as a fixed-format string so the driver's
+    canonicalizer (pandas sort_values over every column) can hash the row —
+    raw array<double> columns are unhashable driver-side.
+    """
     from mpnsm_spark.operators.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, n=200))
+    feats = extract_features(synthesize_media(spark, n=200))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+    )
 
 
 # ------------------------------------------------------------------ registry
