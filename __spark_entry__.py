@@ -702,8 +702,10 @@ LEFT JOIN (SELECT r_regionkey, r_regionkey * 1.0 AS growth FROM region) rcfg
 
 
 def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: per-series changepoint selection (rows-only: the greedy
-    min-distance pass is sequential per series, not SQL-expressible)."""
+    """W10: per-series changepoint selection. The greedy min-distance pass is
+    sequential per series and runs inside the grouped-map kernel; the oracle
+    replays it exactly with a recursive CTE (smooth → |d2| → half-up 6dp
+    round → score-desc/pos-asc greedy walk)."""
     from mpnsm_spark.operators.outliers import changepoints
 
     ev = _t(spark, sf_dir, "events")
@@ -712,7 +714,8 @@ def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("conv_id"),
             F.date_trunc("hour", "ts").alias("bucket_start"),
         )
-        .agg(F.avg("value").alias("value_avg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast(DEC)).alias("s"))
+        .withColumn("value_avg", F.col("s").cast("double") / F.col("n"))
     )
     return changepoints(t1h, n_changepoints=5, min_distance=3)
 
@@ -882,20 +885,23 @@ SELECT query_id, rank, neighbor_id, score FROM (
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (rows-only check: LSH banding is not
-    reasonably SQL-expressible; exact-Jaccard verification keeps it sound)."""
+    """MinHash-LSH near-duplicate pairs, md5 hash strategy: every stage —
+    shingling, k-permutation signatures (lexicographic min of salted md5),
+    banding, candidate join, exact-Jaccard verify — is replayed verbatim by
+    the DuckDB oracle, so the LSH pipeline is value-checked end to end."""
     from mpnsm_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5, hash_strategy="md5"
     )
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + blocking buckets (rows-only check)."""
+    """SimHash signatures + blocking buckets (md5 token hashes folded in an
+    Arrow kernel; the oracle recomputes all 64 bit-votes in SQL)."""
     from mpnsm_spark.operators.dedup import simhash_buckets
 
-    return simhash_buckets(_t(spark, sf_dir, "documents"))
+    return simhash_buckets(_t(spark, sf_dir, "documents"), hash_strategy="md5")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +932,188 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("features", lambda x: F.format_string("%.6f", x))
         ).alias("features_csv"),
     )
+
+
+# ----------------------------------------------- generated oracle SQL (LSH &c)
+
+
+def _sql_minhash(num_hashes: int = 32, bands: int = 8, ngram: int = 3,
+                 threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_strategy='md5'): identical
+    shingling, signatures (lexicographic min of salted md5), banding,
+    candidate join and exact-Jaccard verify."""
+    r = num_hashes // bands
+    sig_elems = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS _id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT _id, string_split(t, ' ') AS w FROM norm
+), sh AS (
+  SELECT _id, list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {ngram - 1}, 1)),
+           i -> array_to_string(list_slice(w, i, i + {ngram - 1}), ' ')))) AS shingles
+  FROM toks
+), sigs AS (
+  SELECT _id, shingles, [{sig_elems}] AS sig FROM sh
+), banded AS (
+  SELECT _id, unnest(generate_series(0, {bands - 1})) AS band_id, sig FROM sigs
+), bh AS (
+  SELECT _id, band_id,
+         md5(array_to_string(list_slice(sig, band_id*{r}+1, band_id*{r}+{r}), ',')) AS band_hash
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a._id < b._id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa._id = c.id_a
+  JOIN sigs sb ON sb._id = c.id_b
+)
+SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def _sql_simhash(prefix_bits: int = 16) -> str:
+    """DuckDB twin of simhash_buckets(hash_strategy='md5'): 64 bit-vote sums
+    over per-token md5 hashes, folded back into a hex signature string."""
+    votes = ",\n         ".join(
+        f"2*sum(((strpos('0123456789abcdef', substr(h, {16 - j // 4}, 1)) - 1)"
+        f" >> {j % 4}) & 1) - count(*) AS v{j}"
+        for j in range(64)
+    )
+    nibbles = []
+    for p in range(16):
+        base = 4 * (15 - p)
+        val = " + ".join(
+            f"(CASE WHEN v{base + s} > 0 THEN {1 << s} ELSE 0 END)" for s in range(4)
+        )
+        nibbles.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    hexsig = "\n      || ".join(nibbles)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm
+), th AS (
+  SELECT doc_id, substr(md5(tk), 1, 16) AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+         {hexsig} AS simhash_hex
+  FROM votes
+)
+SELECT doc_id, simhash_hex, substr(simhash_hex, 1, {prefix_bits // 4}) AS bucket FROM sigs
+"""
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)
+), assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+         {_SQL_COS.format(a="e.embedding::DOUBLE[]", b="c.cvec")} AS s
+  FROM embeddings e CROSS JOIN cent c
+), buckets AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM assign
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS q_vec, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM assign WHERE vec_id < 5
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="p.q_vec", b="b.v")} AS score
+  FROM buckets b JOIN probes p ON b.bucket = p.bucket
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+SQL_CHANGEPOINTS = """
+WITH RECURSIVE t1h AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+  FROM events GROUP BY 1, 2
+), ordered AS (
+  SELECT conv_id, bucket_start, value_avg,
+         row_number() OVER (PARTITION BY conv_id ORDER BY bucket_start) - 1 AS idx
+  FROM t1h
+), smoothed AS (
+  SELECT conv_id, bucket_start, idx,
+         CASE WHEN lag(value_avg) OVER o IS NULL AND lead(value_avg) OVER o IS NULL
+                THEN NULL
+              WHEN lag(value_avg) OVER o IS NULL
+                THEN (value_avg + lead(value_avg) OVER o) / 2.0
+              WHEN lead(value_avg) OVER o IS NULL
+                THEN (lag(value_avg) OVER o + value_avg) / 2.0
+              ELSE ((lag(value_avg) OVER o + value_avg) + lead(value_avg) OVER o) / 3.0
+         END AS sm
+  FROM ordered
+  WINDOW o AS (PARTITION BY conv_id ORDER BY idx)
+), scored AS (
+  SELECT conv_id, bucket_start, idx,
+         floor(abs((lead(sm) OVER o2 - 2*sm) + lag(sm) OVER o2) * 1000000.0 + 0.5)
+           / 1000000.0 AS score
+  FROM smoothed
+  WINDOW o2 AS (PARTITION BY conv_id ORDER BY idx)
+), cand AS (
+  SELECT conv_id, idx, bucket_start, score,
+         row_number() OVER (PARTITION BY conv_id ORDER BY score DESC, idx ASC) AS ord
+  FROM scored WHERE score > 0
+), walk AS (
+  SELECT conv_id, 0 AS ord, CAST([] AS BIGINT[]) AS acc
+  FROM (SELECT DISTINCT conv_id FROM cand)
+  UNION ALL
+  SELECT w.conv_id, w.ord + 1,
+         CASE WHEN len(list_filter(w.acc, a -> abs(a - c.idx) < 3)) = 0
+                   AND len(w.acc) < 5
+              THEN list_append(w.acc, c.idx) ELSE w.acc END
+  FROM walk w JOIN cand c ON c.conv_id = w.conv_id AND c.ord = w.ord + 1
+  WHERE len(w.acc) < 5
+), final AS (
+  SELECT conv_id, acc FROM (
+    SELECT conv_id, acc,
+           row_number() OVER (PARTITION BY conv_id ORDER BY ord DESC) AS rn
+    FROM walk
+  ) WHERE rn = 1
+), accepted AS (
+  SELECT conv_id, unnest(acc) AS idx,
+         CAST(unnest(generate_series(1, len(acc))) AS INT) AS rank
+  FROM final
+)
+SELECT a.conv_id, s.bucket_start, s.score, a.rank
+FROM accepted a JOIN scored s ON s.conv_id = a.conv_id AND s.idx = a.idx
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -990,14 +1178,16 @@ def oracle_sql() -> dict[str, str]:
         "tail_trim": SQL_TAIL_TRIM,
         "cv_expanding": SQL_CV,
         "config_inherit": SQL_CONFIG,
-        # changepoints: no oracle (sequential greedy min-distance per series).
+        "changepoints": SQL_CHANGEPOINTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_quality": SQL_DOC_QUALITY,
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine_topk": SQL_ANN_TOPK,
-        # minhash_near_dups / simhash_buckets / ivf_topk / media_features:
-        # intentionally no oracle (LSH banding, 64-bit bit-fold, approximate
-        # search, and stubbed media decode are not SQL-expressible) → the
-        # driver records the weaker rows-only check for these four.
+        "minhash_near_dups": _sql_minhash(),
+        "simhash_buckets": _sql_simhash(),
+        "ivf_topk": SQL_IVF_TOPK,
+        # media_features: intentionally no oracle — the decode kernel is a
+        # container stub (no PIL/ffmpeg); the driver records the rows-only
+        # check for it.
     }

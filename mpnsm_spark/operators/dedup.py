@@ -61,14 +61,27 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 # -------------------------------------------------------------------- MinHash
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """k-permutation MinHash signature as an array<long> — no explode: each
-    hash function is an array_min over JVM-evaluated xxhash64(shingle, seed)."""
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, hash_strategy: str = "xxhash64"
+) -> Column:
+    """k-permutation MinHash signature — no explode: each hash function is an
+    array_min over JVM-evaluated hashes of each shingle.
+
+    ``hash_strategy``:
+
+    - ``"xxhash64"`` (default, fastest): array<long>, seeded xxhash64.
+    - ``"md5"``: array<string>, lexicographic min of ``md5("<j>|" + shingle)``
+      hex digests. ~2× slower but *cross-engine reproducible* — DuckDB/any
+      ANSI engine computes the identical signature, so the whole LSH pipeline
+      is oracle-checkable bit-for-bit.
+    """
+    if hash_strategy == "md5":
+        mk = lambda s, j: F.md5(F.concat(F.lit(f"{j}|"), s))  # noqa: E731
+    else:
+        mk = lambda s, j: F.xxhash64(s, F.lit(j))  # noqa: E731
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
+            F.array_min(F.transform(shingles, lambda s, j=j: mk(s, j)))
             for j in range(num_hashes)
         ]
     )
@@ -82,38 +95,49 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Scale shape (the 100 TB contract): the banded self-join carries ONLY
+    ``(_id, band_id, band_hash)`` — document content (shingle arrays) never
+    crosses that shuffle. Shingles are recomputed from text for just the
+    deduped candidate ids via two joins against the (narrow) doc table, so
+    corpus content is shuffled at candidate volume, not ×bands×candidates.
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        word_ngrams(F.col(text_col), ngram).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        minhash_signature(
+            word_ngrams(F.col(text_col), ngram), num_hashes, hash_strategy
+        ).alias("sig"),
+    )
+
+    def _band_hash(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return F.md5(joined) if hash_strategy == "md5" else F.xxhash64(joined)
 
     banded = sig.select(
         "_id",
-        "shingles",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), _band_hash(b).alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
-    ).select("_id", "shingles", "band.band_id", "band.band_hash")
+    ).select("_id", "band.band_id", "band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -124,17 +148,20 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        word_ngrams(F.col(text_col), ngram).alias("_sh"),
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", jac.cast("double"))
+        verified.withColumn("jaccard", jac.cast("double"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -213,13 +240,69 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_buckets(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+    hash_strategy: str = "md5",
 ) -> DataFrame:
     """Docs bucketed by the top ``prefix_bits`` of their SimHash — near-dup
-    blocking key (hamming-close docs usually share the prefix)."""
-    sig = simhash64(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        sig.alias("simhash"),
-        F.shiftrightunsigned(sig, 64 - prefix_bits).alias("bucket"),
+    blocking key (hamming-close docs usually share the prefix).
+
+    ``hash_strategy="md5"`` (default): per-token md5 hashes folded in an
+    Arrow-batched kernel — one pandas pass per batch instead of a 64-lane JVM
+    expression tree (which costs ~15s of codegen/plan overhead per job), and
+    cross-engine reproducible so the bucketing is oracle-checkable. Output
+    signature/bucket are hex strings.
+
+    ``hash_strategy="xxhash64"``: pure-JVM expression variant (no Python in
+    the plan); signature/bucket are longs.
+    """
+    if hash_strategy == "xxhash64":
+        sig = simhash64(F.col(text_col))
+        return df.select(
+            F.col(id_col),
+            sig.alias("simhash"),
+            F.shiftrightunsigned(sig, 64 - prefix_bits).alias("bucket"),
+        )
+
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    prefix_hex = prefix_bits // 4
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                # mirror normalize_text exactly: lower, collapse \s+, trim
+                toks = re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for i, tok in enumerate(toks):
+                    h = cache.get(tok)
+                    if h is None:
+                        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+                        cache[tok] = h
+                    hs[i] = h
+                bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                sigs.append(format(sig, "016x"))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash_hex": sigs,
+                    "bucket": [s[:prefix_hex] for s in sigs],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, simhash_hex string, bucket string"
     )

@@ -95,7 +95,16 @@ def changepoints(
     Pipeline per series (vectorized numpy inside the grouped-map kernel):
     centered rolling-mean smooth (W1) → second difference (W8) → candidates
     sorted by |d2| → greedy accept while ≥ min_distance from accepted.
+
+    Cross-engine determinism contract (the greedy pass IS replayable by an
+    ANSI engine via a recursive CTE — see SQL_CHANGEPOINTS): the smooth uses
+    the windowed-sum accumulation order ``(prev + cur) + next``, the score is
+    half-up-rounded to 6dp via ``floor(x·1e6 + 0.5)/1e6`` (identical float
+    ops both sides), and candidate order is (score desc, position asc).
+    Only the default ``smooth_window=3`` has the SQL twin.
     """
+    if smooth_window != 3:  # pragma: no cover - SQL twin pins the default
+        raise ValueError("changepoints: only smooth_window=3 is supported")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].to_numpy(np.float64)
@@ -104,18 +113,21 @@ def changepoints(
             return pd.DataFrame(
                 columns=["conv_id", "bucket_start", "score", "rank"]
             ).astype({"score": float, "rank": int})
-        sm = (
-            pd.Series(vals)
-            .rolling(smooth_window, center=True, min_periods=1)
-            .mean()
-            .to_numpy()
-        )
+        # centered 3-window mean, accumulated (prev + cur) + next so the
+        # grouping matches a SQL windowed SUM over (1 PRECEDING, 1 FOLLOWING)
+        s = vals.copy()
+        s[1:] = vals[:-1] + vals[1:]
+        s[:-1] = s[:-1] + vals[1:]
+        cnt = np.full(n, 3.0)
+        cnt[0] = cnt[-1] = 2.0
+        sm = s / cnt
         d2 = np.zeros(n)
-        d2[1:-1] = np.abs(sm[2:] - 2 * sm[1:-1] + sm[:-2])
-        order = np.argsort(-d2, kind="stable")
+        d2[1:-1] = np.abs((sm[2:] - 2 * sm[1:-1]) + sm[:-2])
+        score = np.floor(d2 * 1e6 + 0.5) / 1e6  # half-up 6dp, SQL-identical
+        order = np.argsort(-score, kind="stable")
         accepted: list[int] = []
         for idx in order:
-            if d2[idx] <= 0:
+            if score[idx] <= 0:
                 break
             if all(abs(idx - a) >= min_distance for a in accepted):
                 accepted.append(int(idx))
@@ -127,7 +139,7 @@ def changepoints(
                 "bucket_start": pdf["bucket_start"].iloc[np.array(accepted, int)]
                 if accepted
                 else pd.Series([], dtype="datetime64[ns]"),
-                "score": d2[accepted] if accepted else [],
+                "score": score[accepted] if accepted else [],
                 "rank": np.arange(1, len(accepted) + 1, dtype=np.int32)
                 if accepted
                 else [],

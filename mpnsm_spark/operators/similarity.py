@@ -82,11 +82,16 @@ def brute_force_topk(
 def sample_centroids(
     corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic centroid pick: the n lowest xxhash64(id) corpus vectors
-    (a seeded pseudo-random but reproducible sample)."""
+    """Deterministic centroid pick: the n lowest md5(id) corpus vectors — a
+    seeded pseudo-random but reproducible sample any SQL engine can replay.
+
+    ``orderBy(..).limit(n)`` compiles to TakeOrderedAndProject: a per-partition
+    size-n heap merged on the driver — O(rows) scan, no global sort, so it is
+    safe at corpus scale (every deterministic exact pick must scan once).
+    """
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_centroids)
         .select(
             F.row_number().over(Window.orderBy(F.col(id_col))).alias("centroid_id"),
@@ -96,13 +101,20 @@ def sample_centroids(
 
 
 def _nearest_centroids(vec: Column, centroids: Column, n: int) -> Column:
-    """Top-n centroid ids by cosine from an array<struct<centroid_id,centroid>>."""
+    """Top-n centroid ids by 6dp-rounded cosine (ties → lowest centroid_id),
+    from an array<struct<centroid_id,centroid>>.
+
+    Scores are rounded so the ordering is reproducible across engines
+    (summation-order float noise stays below the rounding quantum)."""
     scored = F.transform(
         centroids,
         lambda c: F.struct(
-            cosine(vec, c["centroid"]).alias("s"), c["centroid_id"].alias("cid")
+            F.round(cosine(vec, c["centroid"]), 6).alias("s"),
+            (-c["centroid_id"]).alias("neg_cid"),
+            c["centroid_id"].alias("cid"),
         ),
     )
+    # array_sort asc on (s, neg_cid), reversed => s desc, cid asc on ties.
     return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
 
@@ -168,7 +180,7 @@ def ivf_search(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("q_vec"), F.col(vec_col)).alias("score"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

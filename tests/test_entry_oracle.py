@@ -8,6 +8,7 @@ __spark_entry__ guarantees.
 """
 
 import math
+import os
 
 import duckdb
 import numpy as np
@@ -16,7 +17,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

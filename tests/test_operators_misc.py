@@ -113,14 +113,13 @@ def test_changepoints_match_pandas_oracle(spark):
     vals = np.concatenate([np.zeros(10), np.full(10, 50.0), np.zeros(10)])
     pdf = pd.DataFrame({"conv_id": "c", "bucket_start": ts, "value_avg": vals})
     cps = changepoints(
-        spark.createDataFrame(pdf), n_changepoints=2, min_distance=2
+        spark.createDataFrame(pdf), n_changepoints=2, min_distance=5
     ).toPandas()
     got = sorted(cps["bucket_start"].dt.hour.tolist())
-    # level shifts at index 10 and 20 → smoothed d2 spikes at hours 8-11 / 18-21
-    assert len(got) == 2
-    assert any(h in (8, 9, 10, 11) for h in got) and any(
-        h in (18, 19, 20, 21) for h in got
-    )
+    # level shifts at idx 10/20 → four EXACTLY-equal smoothed-|d2| spikes at
+    # hours 8, 11, 18, 21 (scores tie after 6dp rounding). Greedy order is
+    # (score desc, position asc): accept 8, reject 11 (<5 apart), accept 18.
+    assert got == [8, 18]
 
 
 # ------------------------------------------------------------------ cv folds

@@ -126,11 +126,26 @@ def test_simhash_near_dup_buckets(spark):
         ],
         "doc_id long, text string",
     )
-    out = dedup.simhash_buckets(df, prefix_bits=8).toPandas().set_index("doc_id")
     def ham(a, b):
+        return bin((int(a, 16) ^ int(b, 16)) & ((1 << 64) - 1)).count("1")
+
+    # md5-kernel variant (hex signature) and pure-JVM xxhash64 variant must
+    # both rank the near-identical pair closer than the unrelated doc
+    out = dedup.simhash_buckets(df, prefix_bits=8).toPandas().set_index("doc_id")
+    assert ham(out.loc[1, "simhash_hex"], out.loc[2, "simhash_hex"]) < ham(
+        out.loc[1, "simhash_hex"], out.loc[3, "simhash_hex"]
+    )
+    assert (out["bucket"].str.len() == 2).all()
+
+    jvm = (
+        dedup.simhash_buckets(df, prefix_bits=8, hash_strategy="xxhash64")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    def ham_i(a, b):
         return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
-    assert ham(out.loc[1, "simhash"], out.loc[2, "simhash"]) < ham(
-        out.loc[1, "simhash"], out.loc[3, "simhash"]
+    assert ham_i(jvm.loc[1, "simhash"], jvm.loc[2, "simhash"]) < ham_i(
+        jvm.loc[1, "simhash"], jvm.loc[3, "simhash"]
     )
 
 
