@@ -23,18 +23,30 @@ verifies (BASELINE.json ``input_hint``).
 
 Execution model (why this scales):
 
+- **One exchange for the whole tier path.** The narrow (no-text) turns are
+  hash-repartitioned by ``conv_id`` exactly once; every downstream grouping —
+  keep-last dedupe on (conv_id, turn_idx), 1m/1h/1d rollups, gap-fill windows
+  and grids — clusters on a superset of ``conv_id``, so Catalyst plans them
+  all WITHOUT further shuffles (subset-of-grouping-keys distribution rule).
+  At 10^12 turns this is the difference between shuffling the corpus once
+  and shuffling it per stage.
+- **Fixed-width aggregation only.** role/tool are dictionary-encoded to ints
+  before the dedupe (``encode_role_tool``), distinct tools aggregate as a
+  ``bit_or`` bitmask — the whole path stays in Tungsten HashAggregate
+  (codegen) instead of sort-fallback ObjectHashAggregate. See rollup.py.
 - **Clean-run fast path**: when a stage produced *all* buckets in this run,
   its cached output is handed directly to dependent stages — no storage
   read-back, no dedupe window. Storage reads (with keep-last dedupe) happen
   only on resume, where prior snapshots exist.
 - **Thread-parallel stage DAG**: independent stages (chunks_1m ∥ tier_1h
-  chain ∥ retention) are submitted from driver threads; Spark's scheduler
-  interleaves their task sets, so the cluster never idles waiting on a
-  narrow stage's tail. TableIO commits are lock-serialized.
+  chain ∥ retention ∥ the post-retention integrity verify) are submitted from
+  driver threads; Spark's scheduler interleaves their task sets, so the
+  cluster never idles waiting on a narrow stage's tail. TableIO commits are
+  lock-serialized.
 - The wave loop is over salt buckets (a driver-side int list, not data); each
   wave is one declarative Spark job over ``bucket_id IN (...)``. The only
-  full raw scans are normalize and tier-1m; 1h/1d cascade from 1m; stage
-  outputs are ≥60× smaller than raw.
+  full raw scans are tier-1m (fused with the dedupe) and the map-only
+  retention/integrity pair; 1h/1d cascade from the cached 1m tier.
 """
 
 from __future__ import annotations
@@ -53,11 +65,55 @@ from mpnsm_spark import TIERS
 from mpnsm_spark.generator import with_value
 from mpnsm_spark.operators.gapfill import gapfill
 from mpnsm_spark.operators.gorilla import encode_tier_chunks
-from mpnsm_spark.operators.rollup import cascade, rollup_raw
+from mpnsm_spark.operators.rollup import cascade, rollup_encoded, rollup_raw
 from mpnsm_spark.operators.skew import with_salt
 from mpnsm_spark.sources.tableio import TableIO
 
 LINEAGE_TABLE = "lineage"
+
+
+# -------------------------------------------------------- dictionary encoding
+
+
+def role_tool_vocabs(df: DataFrame) -> tuple[list[str], list[str]]:
+    """Distinct (role, tool) dictionaries in ONE column-pruned scan — both are
+    tiny enums in practice; map-side partial distinct reduces each task to
+    vocab size before the shuffle."""
+    rows = df.select("role", "tool").distinct().collect()
+    roles = sorted({r.role for r in rows if r.role is not None})
+    tools = sorted({r.tool for r in rows if r.tool is not None})
+    return roles, tools
+
+
+def encode_role_tool(
+    df: DataFrame, role_vocab: list[str], tool_vocab: list[str]
+) -> DataFrame:
+    """role/tool strings → int codes (-1 = null/unknown) so every downstream
+    aggregation buffer is fixed-width (pure codegen HashAggregate)."""
+
+    def code(col: F.Column, vocab: list[str]) -> F.Column:
+        expr = F.when(col.isNull(), F.lit(-1))
+        for i, v in enumerate(vocab):
+            expr = expr.when(col == v, F.lit(i))
+        return expr.otherwise(F.lit(-1)).cast("int")
+
+    return (
+        df.withColumn("role_id", code(F.col("role"), role_vocab))
+        .withColumn("tool_id", code(F.col("tool"), tool_vocab))
+        .drop("role", "tool")
+    )
+
+
+def dedupe_encoded(pre: DataFrame) -> DataFrame:
+    """Keep-last dedupe on (conv_id, turn_idx) over encoded narrow rows —
+    per-column max_by keyed on ts, all fixed-width buffers. Rows that tie on
+    ts with different payloads resolve per-column (pathological input only)."""
+    return pre.groupBy("conv_id", "turn_idx").agg(
+        F.max("ts").alias("ts"),
+        F.max_by("role_id", "ts").alias("role_id"),
+        F.max_by("tool_id", "ts").alias("tool_id"),
+        F.max_by("value", "ts").alias("value"),
+    )
 
 
 @dataclass
@@ -251,22 +307,22 @@ def run_pipeline(
     # Scale-critical split: the wide text column NEVER crosses a shuffle.
     # - raw_aug: salted raw rows incl. text — consumed only by map-only
     #   stages (retention write, map-side integrity hashes);
-    # - norm: keep-last-deduped NARROW rows (no text) — the shuffled input
-    #   to the tier cascade. Shuffling text made normalize memory-bandwidth
-    #   bound and killed core scaling.
+    # - norm: keep-last-deduped NARROW dictionary-encoded rows (no text,
+    #   no strings) — repartitioned by conv_id ONCE; the dedupe, every tier
+    #   rollup and the gap-fill windows all cluster on conv_id supersets, so
+    #   no further exchange exists anywhere in the tier path.
     raw_aug = with_salt(
         with_value(raw_df) if "value" not in raw_df.columns else raw_df,
         cfg.num_buckets,
     )
     narrow = raw_aug.drop("text")
-    others = [c for c in narrow.columns if c not in ("conv_id", "turn_idx")]
-    norm = (
-        narrow.groupBy("conv_id", "turn_idx")
-        .agg(F.max_by(F.struct(*others), F.col("ts")).alias("_r"))
-        .select("conv_id", "turn_idx", *[F.col(f"_r.{c}").alias(c) for c in others])
-        .cache()
-    )
-    input_turns = norm.count()
+    role_vocab, tool_vocab = role_tool_vocabs(narrow)  # one tiny scan
+    pre = encode_role_tool(narrow.drop("bucket_id"), role_vocab, tool_vocab)
+    norm = with_salt(dedupe_encoded(pre.repartition("conv_id")), cfg.num_buckets)
+    multi_wave = cfg.wave_size is not None and cfg.wave_size < cfg.num_buckets
+    if multi_wave:
+        # Several waves re-filter norm — worth materializing once.
+        norm = norm.cache()
     t_norm_done = time.time()
     done_map = load_lineage_map(spark, io)
     all_buckets = set(range(cfg.num_buckets))
@@ -275,12 +331,25 @@ def run_pipeline(
     stages_run: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
     fresh_outputs: dict[str, DataFrame] = {}
-    cached: list[DataFrame] = [norm]
+    cached: list[DataFrame] = [norm] if multi_wave else []
     errors: list[BaseException] = []
     futs: list = []
+    integrity_ok: list[bool] = [False]
 
     def stage_table(stage: str) -> str:
         return stage if stage != "retention" else "raw_retained"
+
+    def stage_input_rows(stage: str):
+        """Meaningful per-bucket input_rows for lineage: raw turns covered by
+        tier rows; non-gap anchors for gap-fill; encoded points for chunks;
+        retained rows for retention (its input IS what it writes)."""
+        if stage.startswith("tier_"):
+            return F.sum("turn_count")
+        if stage.startswith("gapfill_"):
+            return F.sum(F.when(~F.col("is_gap"), 1).otherwise(0))
+        if stage.startswith("chunks_"):
+            return F.sum("n_points")
+        return F.count(F.lit(1))
 
     def run_stage(stage: str, produce) -> None:
         done = done_map.get(stage, set())
@@ -314,6 +383,7 @@ def run_pipeline(
             # their completion row.
             stats = out.groupBy("bucket_id").agg(
                 F.count(F.lit(1)).alias("output_rows"),
+                stage_input_rows(stage).alias("input_rows"),
                 *(
                     [
                         F.sum(
@@ -358,13 +428,15 @@ def run_pipeline(
         return F.col("bucket_id").isin([int(b) for b in wave])
 
     def produce_1m(wave):
-        sub = norm.filter(in_wave(wave))
-        return with_salt(rollup_raw(sub, "1m"), cfg.num_buckets)
+        sub = norm.filter(in_wave(wave)).drop("bucket_id")
+        return with_salt(
+            rollup_encoded(sub, "1m", role_vocab, tool_vocab), cfg.num_buckets
+        )
 
     def make_cascade(tier: str, parent: str):
         def produce(wave):
             src = tier_source(parent).filter(in_wave(wave)).drop("bucket_id")
-            return with_salt(cascade(src, tier), cfg.num_buckets)
+            return with_salt(cascade(src, tier, tool_vocab), cfg.num_buckets)
 
         return produce
 
@@ -400,14 +472,23 @@ def run_pipeline(
             with lock:
                 errors.append(e)
 
+    import os as _os
+
+    serial_dag = _os.environ.get("MPNSM_SERIAL_DAG") == "1"
+
     def submit(fn):
+        if serial_dag:
+            guarded(fn)
+            return
         with lock:
             futs.append(ex.submit(guarded, fn))
 
     # --- stage DAG -----------------------------------------------------------
     # tier_1m is the root: everything depends on it, run it inline in the main
     # thread (its raw scan parallelizes across the cluster anyway); dependent
-    # stages + all lineage commits go through the driver-thread pool.
+    # stages + all lineage commits go through the driver-thread pool. The
+    # integrity verify chains off retention so it overlaps the tier branches
+    # instead of serializing after the DAG.
     with ThreadPoolExecutor(max_workers=12) as ex:
 
         def chain_tier(tier: str, parent: str):
@@ -419,6 +500,22 @@ def run_pipeline(
 
             return run
 
+        def retention_then_verify():
+            run_stage("retention", produce_retention)
+            ok = verify_turn_integrity(
+                spark,
+                io,
+                raw_aug.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
+                if cfg.retention_cutoff
+                else raw_aug,
+            )
+            with lock:
+                integrity_ok[0] = ok
+            if not ok:
+                raise StageFailure(
+                    "per-turn text integrity check failed — raw NOT droppable"
+                )
+
         guarded(lambda: run_stage("tier_1m", produce_1m))
         if not errors:
             submit(lambda: run_stage("chunks_1m", make_chunks("1m")))
@@ -427,7 +524,7 @@ def run_pipeline(
             # columns) and keeps the critical path two stages deep.
             submit(chain_tier("1h", "1m"))
             submit(chain_tier("1d", "1m"))
-            submit(lambda: run_stage("retention", produce_retention))
+            submit(retention_then_verify)
 
         while True:
             with lock:
@@ -437,19 +534,23 @@ def run_pipeline(
             wait(pending)
 
     if errors:
-        norm.unpersist()
+        for df in cached:
+            df.unpersist()
         raise errors[0]
 
     t_dag_done = time.time()
-    ok = verify_turn_integrity(
-        spark,
-        io,
-        raw_aug.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
-        if cfg.retention_cutoff
-        else raw_aug,
+    # input_turns (deduped) from the tier_1m lineage the run just committed —
+    # no separate count barrier over norm.
+    lin = io.read(spark, LINEAGE_TABLE).filter(
+        (F.col("stage") == "tier_1m") & (F.col("status") == "ok")
     )
-    if not ok:
-        raise StageFailure("per-turn text integrity check failed — raw NOT droppable")
+    input_turns = (
+        lin.groupBy("bucket_id")
+        .agg(F.max_by("input_rows", "version").alias("ir"))
+        .agg(F.sum("ir"))
+        .collect()[0][0]
+        or 0
+    )
 
     wall = time.time() - t_start
     for df in cached:
@@ -462,9 +563,8 @@ def run_pipeline(
         "stages": stages_run,
         "stage_seconds": stage_seconds,
         "phase_seconds": {
-            "normalize": round(t_norm_done - t_start, 3),
+            "plan_vocab": round(t_norm_done - t_start, 3),
             "stage_dag": round(t_dag_done - t_norm_done, 3),
-            "integrity": round(wall - (t_dag_done - t_start), 3),
         },
-        "integrity_ok": ok,
+        "integrity_ok": integrity_ok[0],
     }

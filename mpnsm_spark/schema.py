@@ -43,6 +43,9 @@ TIER_SCHEMA = T.StructType(
         T.StructField("value_avg", T.DoubleType(), True),
         T.StructField("first_value", T.DoubleType(), True),
         T.StructField("last_value", T.DoubleType(), True),
+        # bitmask over the run's sorted tool vocabulary (fixed-width distinct-
+        # set aggregation; `tools` above is its decoded presentation)
+        T.StructField("tools_mask", T.LongType(), False),
     ]
 )
 

@@ -26,16 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mpnsm_spark.operators.rollup import rollup_raw
+from mpnsm_spark.operators.rollup import rollup_raw, tool_mask_expr, tools_from_mask
 
 
 def streaming_rollup_1m(
-    stream_df: DataFrame, watermark: str = "10 minutes"
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    tool_vocab: list[str] | None = None,
 ) -> DataFrame:
     """Streaming 1m tier aggregation (append mode once the watermark passes).
 
     ``stream_df`` must be a streaming DataFrame with the transcript schema
-    plus ``value``. Output schema matches the batch tier table.
+    plus ``value``. Output schema matches the batch tier table. Pass
+    ``tool_vocab`` so the distinct-tool set aggregates as a fixed-width
+    ``bit_or`` bitmask (same dictionary as the batch pipeline — streaming
+    can't scan its own input for a vocabulary); without it the state store
+    falls back to collect_set and the ``tools_mask`` column is omitted.
     """
     w = F.window("ts", "1 minute")
     base = stream_df.withWatermark("ts", watermark)
@@ -43,49 +49,63 @@ def streaming_rollup_1m(
     def role_count(role: str):
         return F.sum(F.when(F.col("role") == role, 1).otherwise(0)).alias(f"n_{role}")
 
-    return (
-        base.groupBy(F.col("conv_id"), w.alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("turn_count"),
-            F.min("turn_idx").alias("first_turn_idx"),
-            F.max("turn_idx").alias("last_turn_idx"),
-            role_count("user"),
-            role_count("assistant"),
-            role_count("system"),
-            role_count("tool"),
-            F.array_sort(F.collect_set("tool")).alias("tools"),
-            F.sum("value").alias("value_sum"),
-            F.min("value").alias("value_min"),
-            F.max("value").alias("value_max"),
-            F.min_by("value", "turn_idx").alias("first_value"),
-            F.max_by("value", "turn_idx").alias("last_value"),
-        )
-        .withColumn("distinct_tools", F.size("tools"))
-        .withColumn("value_avg", F.col("value_sum") / F.col("turn_count"))
-        .select(
-            "conv_id",
-            F.col("win.start").alias("bucket_start"),
-            "turn_count",
-            "first_turn_idx",
-            "last_turn_idx",
-            "n_user",
-            "n_assistant",
-            "n_system",
-            "n_tool",
-            "tools",
-            "distinct_tools",
-            "value_sum",
-            "value_min",
-            "value_max",
-            "value_avg",
-            "first_value",
-            "last_value",
-        )
+    tool_aggs = (
+        [F.bit_or(tool_mask_expr(F.col("tool"), tool_vocab)).alias("tools_mask")]
+        if tool_vocab is not None
+        else [F.array_sort(F.collect_set("tool")).alias("tools")]
+    )
+    out = base.groupBy(F.col("conv_id"), w.alias("win")).agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.min("turn_idx").alias("first_turn_idx"),
+        F.max("turn_idx").alias("last_turn_idx"),
+        role_count("user"),
+        role_count("assistant"),
+        role_count("system"),
+        role_count("tool"),
+        *tool_aggs,
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.min_by("value", "turn_idx").alias("first_value"),
+        F.max_by("value", "turn_idx").alias("last_value"),
+    )
+    mask_cols = []
+    if tool_vocab is not None:
+        out = out.withColumn(
+            "tools", tools_from_mask(F.col("tools_mask"), tool_vocab)
+        ).withColumn("distinct_tools", F.bit_count("tools_mask").cast("int"))
+        mask_cols = ["tools_mask"]
+    else:
+        out = out.withColumn("distinct_tools", F.size("tools"))
+    return out.withColumn(
+        "value_avg", F.col("value_sum") / F.col("turn_count")
+    ).select(
+        "conv_id",
+        F.col("win.start").alias("bucket_start"),
+        "turn_count",
+        "first_turn_idx",
+        "last_turn_idx",
+        "n_user",
+        "n_assistant",
+        "n_system",
+        "n_tool",
+        "tools",
+        "distinct_tools",
+        "value_sum",
+        "value_min",
+        "value_max",
+        "value_avg",
+        "first_value",
+        "last_value",
+        *mask_cols,
     )
 
 
 def run_stream_to_memory(
-    spark, stream_df: DataFrame, query_name: str = "tier_1m_stream"
+    spark,
+    stream_df: DataFrame,
+    query_name: str = "tier_1m_stream",
+    tool_vocab: list[str] | None = None,
 ) -> DataFrame:
     """Drive a finite source to completion through the streaming rollup and
     return the materialized result (test/verification harness).
@@ -94,7 +114,7 @@ def run_stream_to_memory(
     so the memory table holds the final tier rows even for buckets whose
     watermark never expired (finite replay).
     """
-    agg = streaming_rollup_1m(stream_df)
+    agg = streaming_rollup_1m(stream_df, tool_vocab=tool_vocab)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -106,7 +126,10 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def batch_equivalent(raw_df: DataFrame) -> DataFrame:
+def batch_equivalent(
+    raw_df: DataFrame, tool_vocab: list[str] | None = None
+) -> DataFrame:
     """The batch query a finite streaming replay must equal (consistency
     oracle)."""
-    return rollup_raw(raw_df, "1m")
+    out = rollup_raw(raw_df, "1m", tool_vocab)
+    return out if tool_vocab is not None else out.drop("tools_mask")

@@ -27,8 +27,13 @@ def test_streaming_rollup_equals_batch(spark):
         )
         from mpnsm_spark.generator import with_value as wv
 
-        got = run_stream_to_memory(spark, wv(stream), "t1m_stream_test").toPandas()
-    want = batch_equivalent(raw).toPandas()
+        from mpnsm_spark.operators.rollup import distinct_tool_vocab
+
+        vocab = distinct_tool_vocab(raw)
+        got = run_stream_to_memory(
+            spark, wv(stream), "t1m_stream_test", tool_vocab=vocab
+        ).toPandas()
+    want = batch_equivalent(raw, vocab).toPandas()
     compare_frames(got, want, ["conv_id", "bucket_start"], float_cols=FLOATS)
 
 
@@ -53,5 +58,5 @@ def test_streaming_rollup_out_of_order_arrival(spark):
         from mpnsm_spark.generator import with_value as wv
 
         got = run_stream_to_memory(spark, wv(stream), "t1m_stream_test2").toPandas()
-    want = batch_equivalent(raw).toPandas()
+    want = batch_equivalent(raw).toPandas()  # vocab-less fallback path
     compare_frames(got, want, ["conv_id", "bucket_start"], float_cols=FLOATS)
