@@ -934,6 +934,281 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- round-2 parity queries
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: centered 5-row rolling EXACT median per user (reference trend
+    extraction, utils.py:207-217)."""
+    from mpnsm_spark.functions.rolling import rolling_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "event_id", "ts", "value"
+    )
+    out = rolling_median(
+        ev, window=5, value_col="value", order_col=["ts", "event_id"]
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"), "event_id", "roll_median"
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT user_id, event_id, quantile_cont(value, 0.5) OVER w AS roll_median
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def q_rolling_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: centered rolling max/min cap & floor + clamped value
+    (reference model.py:240-261)."""
+    from mpnsm_spark.functions.rolling import rolling_cap_floor
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "event_id", "ts", "value"
+    )
+    out = rolling_cap_floor(
+        ev, window=7, value_col="value", order_col=["ts", "event_id"]
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "event_id",
+        "cap",
+        "floor",
+        "value_clamped",
+    )
+
+
+SQL_ROLLING_CAPS = """
+SELECT user_id, event_id,
+       max(value) OVER w AS cap,
+       min(value) OVER w AS floor,
+       least(greatest(value, min(value) OVER w), max(value) OVER w) AS value_clamped
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+"""
+
+
+def q_fourier_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc-math: sin/cos daily-cycle seasonality features, k=1..2
+    (reference utils.py:84-90), 6dp-rounded for cross-libm reproducibility."""
+    from mpnsm_spark.functions.rolling import fourier_terms
+
+    ev = _t(spark, sf_dir, "events")
+    out = fourier_terms(ev, ts_col="ts", period_seconds=86400, order=2)
+    return out.select("event_id", "sin_1", "cos_1", "sin_2", "cos_2")
+
+
+SQL_FOURIER = """
+SELECT event_id,
+       round(sin(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS sin_1,
+       round(cos(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS cos_1,
+       round(sin(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS sin_2,
+       round(cos(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS cos_2
+FROM events
+"""
+
+
+def q_semi_join_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: restrict events to configured units via left_semi
+    (reference deprecated/ts_manager.py:205-207). Units = users whose id is
+    a customer key in the BUILDING segment."""
+    from mpnsm_spark.operators.config import semi_join_units
+
+    ev = _t(spark, sf_dir, "events")
+    units = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    kept = semi_join_units(ev, units, ["user_id"])
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("value_sum")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY user_id
+"""
+
+
+def q_intervals_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty intervals (reference prophet/ts_uncertainty.py): LOCF
+    one-step forecast, residual-quantile [q10, q90] intervals, per-user
+    empirical coverage + mean width."""
+    from mpnsm_spark.operators.uncertainty import residual_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scored = (
+        ev.withColumn("yhat", F.lag("value").over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(F.col("user_id").cast("string").alias("conv_id"),
+                F.col("value").alias("y"), "yhat")
+    )
+    iv = residual_intervals(scored)
+    # decimal-stable width mean (summation-order proof for the hash compare);
+    # the engine-facing interval_coverage() uses plain avg.
+    return iv.groupBy("conv_id").agg(
+        F.avg(F.col("covered").cast("double")).alias("coverage"),
+        (
+            F.sum((F.col("yhat_hi") - F.col("yhat_lo")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_width"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "coverage",
+        "mean_width",
+        "n",
+    )
+
+
+SQL_INTERVALS = """
+WITH scored AS (
+  SELECT user_id, value AS y,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yhat
+  FROM events QUALIFY yhat IS NOT NULL
+), qs AS (
+  SELECT user_id,
+         quantile_cont(y - yhat, 0.1) AS q_lo,
+         quantile_cont(y - yhat, 0.9) AS q_hi
+  FROM scored GROUP BY user_id
+), iv AS (
+  SELECT s.user_id, s.y, s.yhat + q.q_lo AS lo, s.yhat + q.q_hi AS hi
+  FROM scored s JOIN qs q USING (user_id)
+)
+SELECT user_id,
+       avg(CAST(y >= lo AND y <= hi AS DOUBLE)) AS coverage,
+       CAST(sum(CAST(hi - lo AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS mean_width,
+       count(*) AS n
+FROM iv GROUP BY user_id
+"""
+
+
+def q_hyperparam_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + the search harness: per-user grid search of the last-w-mean
+    forecaster (w ∈ 1,2,4,8) over 3 expanding CV folds scored by WMAPE;
+    chosen param = cross-fold median. The WHOLE search (folds, fits, scores,
+    argmin, median) is replayed by the SQL oracle."""
+    from mpnsm_spark.functions.tuning import tune_per_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id", "value"
+    )
+    out = tune_per_series(
+        ev,
+        param_grid=[1, 2, 4, 8],
+        n_folds=3,
+        horizon=10,
+        jump=5,
+        min_train=5,
+        order_col=["ts", "event_id"],
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "chosen_param",
+        "folds_used",
+    )
+
+
+SQL_HYPERPARAM = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), folds AS (
+  SELECT DISTINCT user_id, n, f.fold, n - 10 - f.fold * 5 AS cutoff
+  FROM ordered CROSS JOIN (SELECT unnest(range(3)) AS fold) f
+  WHERE n - 10 - f.fold * 5 >= 5
+), fits AS (
+  SELECT f.user_id, f.fold, f.cutoff, p.w,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS yhat
+  FROM folds f
+  CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS w) p
+  JOIN ordered o ON o.user_id = f.user_id
+       AND o.rn > f.cutoff - p.w AND o.rn <= f.cutoff
+  GROUP BY 1, 2, 3, 4
+), scores AS (
+  SELECT t.user_id, t.fold, t.w,
+         CAST(sum(CAST(abs(o.value - t.yhat) AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(sum(CAST(abs(o.value) AS DECIMAL(20,6))) AS DOUBLE) AS wmape
+  FROM fits t JOIN ordered o ON o.user_id = t.user_id
+       AND o.rn > t.cutoff AND o.rn <= t.cutoff + 10
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT user_id, fold, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, fold
+                                 ORDER BY wmape ASC, w ASC) AS rnk
+    FROM scores
+  ) WHERE rnk = 1
+)
+SELECT user_id,
+       quantile_cont(CAST(w AS DOUBLE), 0.5) AS chosen_param,
+       CAST(count(*) AS INT) AS folds_used
+FROM best GROUP BY user_id
+"""
+
+
+def _planted_corpus_spark(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministic near-dup copies of vec_id<10 (v' = 0.9v+0.01)."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 0.9 + 0.01).alias("v"),
+    )
+    return base.unionByName(planted)
+
+
+def q_signlsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dups: 8 deterministic hyperplanes (literal in
+    both engines) bucket the corpus; exact rounded cosine ≥ 0.95 verifies.
+    Near-dup pairs are planted (v' = 0.9v + 0.01) since the synthetic corpus
+    is near-orthogonal."""
+    from mpnsm_spark.operators.similarity import cosine_near_dup_pairs
+
+    corpus = _planted_corpus_spark(_t(spark, sf_dir, "embeddings"))
+    return cosine_near_dup_pairs(
+        corpus, dim=64, threshold=0.95, n_planes=8, vec_col="v"
+    )
+
+
+def _sql_signlsh(n_planes: int = 8, threshold: float = 0.95) -> str:
+    from mpnsm_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(64, j) for j in range(n_planes)]
+    sign_bits = " || ".join(
+        "(CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(f"{x!r}" for x in p)
+        + "]), 6) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = _SQL_COS.format(a="a.v", b="b.v")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01)
+  FROM embeddings WHERE vec_id < 10
+), tagged AS (
+  SELECT vec_id, v, {sign_bits} AS bucket FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS score
+FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 # ----------------------------------------------- generated oracle SQL (LSH &c)
 
 
@@ -1152,6 +1427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "rolling_median": q_rolling_median,
+        "rolling_caps": q_rolling_caps,
+        "fourier_terms": q_fourier_terms,
+        "semi_join_units": q_semi_join_units,
+        "intervals_coverage": q_intervals_coverage,
+        "hyperparam_cv": q_hyperparam_cv,
+        "signlsh_near_dups": q_signlsh_near_dups,
     }
 
 
@@ -1190,4 +1472,11 @@ def oracle_sql() -> dict[str, str]:
         # media_features: intentionally no oracle — the decode kernel is a
         # container stub (no PIL/ffmpeg); the driver records the rows-only
         # check for it.
+        "rolling_median": SQL_ROLLING_MEDIAN,
+        "rolling_caps": SQL_ROLLING_CAPS,
+        "fourier_terms": SQL_FOURIER,
+        "semi_join_units": SQL_SEMI_JOIN,
+        "intervals_coverage": SQL_INTERVALS,
+        "hyperparam_cv": SQL_HYPERPARAM,
+        "signlsh_near_dups": _sql_signlsh(),
     }

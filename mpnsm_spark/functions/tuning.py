@@ -1,0 +1,212 @@
+"""Per-series hyperparameter search + CV scoring harness (in-UDF).
+
+Reference parity — the reference's most-used entry after fit_predict:
+
+- ladder/grid search with convergence early-stop:
+  ``/root/reference/mpnsm/time_series/hyperparameter_tuning.py:174-304``
+  (heuristic ladder), ``:338-527`` (grid), early-stop rules ``:96-145``;
+- per-fold fit replay: ``forecast.py:707-758`` (``fit_predictCV``);
+- cross-fold median/mode param chooser (SURVEY.md A8):
+  ``hyperparameter_tuning.py:147-172``, ``deprecated/ts_model.py:838-849``.
+
+Architecture: the whole search loop runs INSIDE the per-series grouped-map
+kernel (``apply_per_series``) — exactly where the reference runs it (inside
+each joblib worker), never spawning nested Spark jobs. Forecasters are
+pluggable callables ``(train_values, horizon, param) -> predictions``; the
+built-in surrogate (``last_w_mean``) is deterministic so the driver oracle
+can replay the full search in ANSI SQL.
+
+Cross-engine float contract: scores use the same exact-DECIMAL(20,6)
+quantization the SQL oracles use (``_q6``: half-away-from-zero at 6dp, exact
+integer sums) so a DuckDB replay of the search is bitwise identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from mpnsm_spark.operators.skew import apply_per_series
+
+
+# ---------------------------------------------------- decimal-exact kernels
+
+
+def _q6(x: np.ndarray) -> np.ndarray:
+    """DECIMAL(20,6) quantization: half-away-from-zero at 6dp, as int64."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)).astype(
+        np.int64
+    )
+
+
+def dec_mean(vals: np.ndarray) -> float:
+    """``CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*)`` twin."""
+    return (_q6(vals).sum() / 1e6) / len(vals)
+
+
+def wmape(y: np.ndarray, yhat: np.ndarray) -> float:
+    """Σ|y-ŷ| / Σ|y| with the decimal-sum contract (oracle-replayable)."""
+    num = _q6(np.abs(np.asarray(y) - np.asarray(yhat))).sum() / 1e6
+    den = _q6(np.abs(np.asarray(y))).sum() / 1e6
+    return num / den if den != 0 else float("inf")
+
+
+METRICS: dict[str, Callable] = {"wmape": wmape}
+
+
+# ------------------------------------------------------------- forecasters
+
+
+def last_w_mean(train: np.ndarray, horizon: int, w) -> np.ndarray:
+    """Constant forecast = decimal-exact mean of the last ``w`` train points
+    (the deterministic surrogate model for the search harness)."""
+    w = int(w)
+    return np.full(horizon, dec_mean(train[-w:] if w < len(train) else train))
+
+
+def locf(train: np.ndarray, horizon: int, _param=None) -> np.ndarray:
+    return np.full(horizon, float(train[-1]))
+
+
+# ------------------------------------------------------------ fold machinery
+
+
+def expanding_cutoffs(
+    n: int, n_folds: int, horizon: int, jump: int, min_train: int
+) -> list[int]:
+    """Expanding-CV train cutoffs (mirrors functions.cvsplits/expanding_folds
+    and the reference's ``cross_validation.py:44-73``): fold f trains on the
+    first ``n - horizon - f*jump`` rows, tests on the next ``horizon``."""
+    cuts = [n - horizon - f * jump for f in range(n_folds)]
+    return [c for c in cuts if c >= min_train]
+
+
+TUNE_SCHEMA = "conv_id string, chosen_param double, folds_used int"
+
+
+def tune_per_series(
+    df: DataFrame,
+    param_grid: Sequence,
+    forecaster: Callable[[np.ndarray, int, object], np.ndarray] = last_w_mean,
+    metric: str | Callable = "wmape",
+    n_folds: int = 3,
+    horizon: int = 10,
+    jump: int = 5,
+    min_train: int = 5,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+    chooser: str = "median",
+    ladder_early_stop: bool = False,
+    patience: int = 2,
+) -> DataFrame:
+    """Grid/ladder hyperparameter search per series over expanding CV folds.
+
+    Per fold: replay ``forecaster`` for every param on the fold's train
+    prefix, score the ``horizon`` test points with ``metric``, keep the best
+    param (ties → earliest in ``param_grid``). The final param is the
+    cross-fold ``median`` (numeric) or ``mode`` (ties → smallest) — SURVEY A8.
+
+    ``ladder_early_stop`` enables the reference's heuristic convergence rule
+    (stop after ``patience`` consecutive non-improving params); leave False
+    for the exhaustive, oracle-replayable grid.
+
+    Output: (key, chosen_param double, folds_used int); series with zero
+    valid folds emit nothing.
+    """
+    metric_fn = METRICS[metric] if isinstance(metric, str) else metric
+    grid = list(param_grid)
+    order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        n = len(vals)
+        best_params: list[float] = []
+        for cutoff in expanding_cutoffs(n, n_folds, horizon, jump, min_train):
+            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+            best_s, best_p, streak = None, None, 0
+            for p in grid:
+                s = metric_fn(test, forecaster(train, horizon, p))
+                if best_s is None or s < best_s:
+                    best_s, best_p, streak = s, p, 0
+                elif ladder_early_stop:
+                    streak += 1
+                    if streak >= patience:
+                        break
+            best_params.append(float(best_p))
+        if not best_params:
+            return pd.DataFrame(
+                {"conv_id": [], "chosen_param": [], "folds_used": []}
+            ).astype({"chosen_param": float, "folds_used": "int32"})
+        if chooser == "median":
+            chosen = float(np.median(best_params))
+        else:  # mode, ties -> smallest (scipy.stats.mode semantics)
+            uniq, counts = np.unique(best_params, return_counts=True)
+            chosen = float(uniq[np.argmax(counts)])
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf[key].iloc[0]],
+                "chosen_param": [chosen],
+                "folds_used": np.array([len(best_params)], dtype=np.int32),
+            }
+        )
+
+    return apply_per_series(
+        df.select(key, *order_cols, value_col),
+        kernel,
+        TUNE_SCHEMA,
+        key=key,
+        order_col=order_cols,
+    )
+
+
+CV_PRED_SCHEMA = (
+    "conv_id string, fold int, step int, y double, yhat double"
+)
+
+
+def cv_fit_predict(
+    df: DataFrame,
+    param,
+    forecaster: Callable[[np.ndarray, int, object], np.ndarray] = last_w_mean,
+    n_folds: int = 3,
+    horizon: int = 10,
+    jump: int = 5,
+    min_train: int = 5,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fold replay (reference ``fit_predictCV``): per fold, fit on the train
+    prefix and emit (fold, step, y, yhat) rows — the union-with-fold-column
+    shape the reference produces (``forecast.py:753-756``)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        rows = {"conv_id": [], "fold": [], "step": [], "y": [], "yhat": []}
+        for f, cutoff in enumerate(
+            expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train)
+        ):
+            preds = forecaster(vals[:cutoff], horizon, param)
+            test = vals[cutoff : cutoff + horizon]
+            for i, (y, yh) in enumerate(zip(test, preds)):
+                rows["conv_id"].append(pdf[key].iloc[0])
+                rows["fold"].append(f)
+                rows["step"].append(i)
+                rows["y"].append(float(y))
+                rows["yhat"].append(float(yh))
+        out = pd.DataFrame(rows)
+        return out.astype({"fold": "int32", "step": "int32"})
+
+    order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+    return apply_per_series(
+        df.select(key, *order_cols, value_col),
+        kernel,
+        CV_PRED_SCHEMA,
+        key=key,
+        order_col=order_cols,
+    )

@@ -66,6 +66,18 @@ def resolve_config(
     return out
 
 
+def semi_join_units(df: DataFrame, units: DataFrame, keys: list[str]) -> DataFrame:
+    """Restrict data to configured units (SURVEY.md J6): ``left_semi`` join,
+    the Spark twin of the reference's
+    ``data.merge(reg_groups, on=group_cols)`` restriction
+    (``/root/reference/mpnsm/time_series/deprecated/ts_manager.py:205-207``).
+
+    The unit list is a per-key table, small by construction (one row per
+    configured unit) → broadcast; the probe side never shuffles.
+    """
+    return df.join(F.broadcast(units.select(*keys).distinct()), keys, "left_semi")
+
+
 def explode_config_lists(config_df: DataFrame, list_col: str, out_col: str) -> DataFrame:
     """Reference pattern: explode per-entry lists (regressors, seasonalities)
     into one row each (``config.py:18-19``; SURVEY.md F5)."""

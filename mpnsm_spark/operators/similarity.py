@@ -198,12 +198,16 @@ def ivf_search(
 
 
 def _hyperplane(dim: int, j: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane j (driver-side, tiny)."""
+    """Deterministic pseudo-random hyperplane j (driver-side, tiny).
+
+    The planes are embedded as LITERALS in both the Spark plan and the SQL
+    oracle text, so any engine replays the identical bucketing.
+    """
     import numpy as np
 
     rng = np.random.default_rng(1000 + j)
     v = rng.standard_normal(dim)
-    return [float(x) for x in v]
+    return [round(float(x), 6) for x in v]
 
 
 def cosine_near_dup_pairs(
@@ -222,14 +226,14 @@ def cosine_near_dup_pairs(
     vectors; raise n_planes to trade recall for candidate volume).
     """
     planes = [_hyperplane(dim, j) for j in range(n_planes)]
+    # Plane dots are 6dp-rounded before the sign test so the bucket string is
+    # reproducible across engines (float summation noise stays below the
+    # rounding quantum); the exact-cosine verify is rounded the same way.
     sig = F.concat_ws(
         "",
         *[
             F.when(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in p]),
-                )
+                F.round(_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])), 6)
                 >= 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
@@ -248,7 +252,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("score"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

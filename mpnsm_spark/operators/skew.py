@@ -72,6 +72,12 @@ def with_sub_splits(
     )
 
 
+def _schema_column_names(output_schema) -> list[str]:
+    if isinstance(output_schema, str):
+        return [f.strip().split()[0] for f in output_schema.split(",")]
+    return [f.name for f in output_schema.fields]
+
+
 def apply_per_series(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -79,6 +85,8 @@ def apply_per_series(
     split_threshold: int | None = None,
     key: str = "conv_id",
     order_col: str = "turn_idx",
+    on_error: str = "raise",
+    error_acc=None,
 ) -> DataFrame:
     """Run a pandas kernel once per conversation — mpnsm's flagship operator
     (per-series joblib loop → ``groupBy(conv_id).applyInPandas``).
@@ -88,10 +96,27 @@ def apply_per_series(
     With ``split_threshold``, hot conversations are sub-split and ``fn`` runs
     per (conv, sub-range) — only safe when the caller's downstream re-merge is
     associative (tier rollups are; arbitrary kernels may not be).
+
+    Per-series error isolation (reference: a failed series returns an empty
+    frame instead of failing the job, ``/root/reference/mpnsm/time_series/
+    deprecated/ts_model.py:1258-1260``): with ``on_error="skip"`` a kernel
+    exception yields an empty result for that series only; pass an
+    ``error_acc`` (``spark.sparkContext.accumulator(0)``) to count poisoned
+    series so the driver can emit ``status='error'`` lineage rows.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    empty_cols = _schema_column_names(output_schema)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf.sort_values(order_col).reset_index(drop=True))
+        try:
+            return fn(pdf.sort_values(order_col).reset_index(drop=True))
+        except Exception:
+            if on_error == "raise":
+                raise
+            if error_acc is not None:
+                error_acc.add(1)
+            return pd.DataFrame(columns=empty_cols)
 
     if split_threshold is None:
         return df.groupBy(key).applyInPandas(run, output_schema)

@@ -38,11 +38,13 @@ Execution model (why this scales):
   its cached output is handed directly to dependent stages — no storage
   read-back, no dedupe window. Storage reads (with keep-last dedupe) happen
   only on resume, where prior snapshots exist.
-- **Thread-parallel stage DAG**: independent stages (chunks_1m ∥ tier_1h
-  chain ∥ retention ∥ the post-retention integrity verify) are submitted from
-  driver threads; Spark's scheduler interleaves their task sets, so the
-  cluster never idles waiting on a narrow stage's tail. TableIO commits are
-  lock-serialized.
+- **Stage DAG, serial by default**: with one exchange feeding everything,
+  every stage is itself cluster-wide, so running stages back-to-back keeps
+  all cores busy; measured local-mode runs show concurrent driver-thread
+  jobs (``parallel_stages=True``) cost up to 2× wall from python-worker
+  oversubscription and cache pressure. The thread pool remains for lineage
+  commits (always async) and for multi-executor clusters where stages are
+  narrow relative to the cluster. TableIO commits are lock-serialized.
 - The wave loop is over salt buckets (a driver-side int list, not data); each
   wave is one declarative Spark job over ``bucket_id IN (...)``. The only
   full raw scans are tier-1m (fused with the dedupe) and the map-only
@@ -123,6 +125,13 @@ class PipelineConfig:
     points_per_chunk: int = 4096
     gapfill_tiers: tuple[str, ...] = ("1h", "1d")
     retention_cutoff: str | None = None  # drop raw turns with ts < cutoff
+    # Run independent stages from concurrent driver threads. Default OFF:
+    # with the single-exchange pipeline every stage is already cluster-wide,
+    # and measured local-mode runs show inter-job contention (python-worker
+    # oversubscription + cache pressure) costing up to 2x wall. Turn on for
+    # multi-executor clusters where stages are narrow relative to the
+    # cluster. MPNSM_SERIAL_DAG=1 forces serial regardless.
+    parallel_stages: bool = False
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
 
@@ -474,7 +483,9 @@ def run_pipeline(
 
     import os as _os
 
-    serial_dag = _os.environ.get("MPNSM_SERIAL_DAG") == "1"
+    serial_dag = (
+        _os.environ.get("MPNSM_SERIAL_DAG") == "1" or not cfg.parallel_stages
+    )
 
     def submit(fn):
         if serial_dag:

@@ -149,5 +149,63 @@ class TableIO:
             reader = reader.option("basePath", ddir)
         return reader.parquet(*[os.path.join(ddir, f) for f in files])
 
+    def partitions(self, table: str) -> list[str]:
+        """Hive partition ids (e.g. ``role=tool``) across committed snapshots."""
+        parts = {
+            os.path.dirname(f) for f in self._committed_files(table) if "/" in f
+        }
+        return sorted(parts)
+
+    def read_partitioned(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition_filter=None,
+        preprocess=None,
+    ) -> DataFrame:
+        """Load-concat of a partitioned table with partition selection and
+        per-partition preprocess (SURVEY.md S5).
+
+        Semantics pinned by the reference's partitioned-dataset tests
+        (``/root/reference/tests/extras/datasets/test_concatened_dataset.py:
+        42-167``): the result is the concatenation of the selected
+        partitions; ``partition_filter`` is a regex string or a callable over
+        the partition id; ``preprocess(df, partition_id)`` runs once per
+        partition before the union; selecting ZERO partitions is an error.
+
+        Partition pruning is real: only the selected partitions' files are
+        listed in the scan, so unselected data is never read.
+        """
+        import re as _re
+
+        parts = self.partitions(table)
+        if not parts:
+            raise FileNotFoundError(f"table {table} has no partitioned snapshots")
+        if partition_filter is not None:
+            if callable(partition_filter):
+                parts = [p for p in parts if partition_filter(p)]
+            else:
+                rx = _re.compile(partition_filter)
+                parts = [p for p in parts if rx.search(p)]
+        if not parts:
+            raise ValueError(
+                f"table {table}: partition filter selected zero partitions"
+            )
+        ddir = self._ddir(table)
+        files_by_part: dict[str, list[str]] = {p: [] for p in parts}
+        for f in self._committed_files(table):
+            d = os.path.dirname(f)
+            if d in files_by_part:
+                files_by_part[d].append(f)
+        out: DataFrame | None = None
+        for p in parts:
+            df = spark.read.option("basePath", ddir).parquet(
+                *[os.path.join(ddir, f) for f in files_by_part[p]]
+            )
+            if preprocess is not None:
+                df = preprocess(df, p)
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
     def exists(self, table: str) -> bool:
         return self.snapshot_version(table) > 0

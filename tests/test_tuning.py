@@ -1,0 +1,190 @@
+"""Hyperparameter/CV search harness: pandas-oracle parity, fold replay,
+ladder early-stop, per-series error isolation, S5 partitioned read."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mpnsm_spark.functions.tuning import (
+    cv_fit_predict,
+    dec_mean,
+    expanding_cutoffs,
+    last_w_mean,
+    tune_per_series,
+    wmape,
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    """60 deterministic seeded series with different noise regimes so the
+    best window differs per series."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(60):
+        n = 40 + (s % 4) * 10
+        base = rng.normal(100, 5 + (s % 3) * 20, n)
+        if s % 2:  # trending series favour small windows
+            base = base + np.arange(n) * 2.0
+        for i, v in enumerate(np.round(base, 3)):
+            rows.append((f"s{s:03d}", i, float(v)))
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+
+
+def _pandas_tune(pdf, grid, n_folds=3, horizon=10, jump=5, min_train=5):
+    """Independent pandas re-implementation of the search."""
+    out = {}
+    for conv, g in pdf.groupby("conv_id"):
+        vals = g.sort_values("turn_idx")["value"].to_numpy()
+        best = []
+        for cutoff in expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train):
+            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+            scores = [
+                (wmape(test, last_w_mean(train, horizon, w)), w) for w in grid
+            ]
+            smin = min(s for s, _ in scores)
+            best.append(float(next(w for s, w in scores if s == smin)))
+        if best:
+            out[conv] = (float(np.median(best)), len(best))
+    return out
+
+
+def test_tune_matches_pandas_oracle(spark, series_df):
+    got = tune_per_series(series_df, param_grid=[1, 2, 4, 8]).toPandas()
+    want = _pandas_tune(series_df.toPandas(), [1, 2, 4, 8])
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        w_chosen, w_folds = want[r.conv_id]
+        assert (r.chosen_param, r.folds_used) == (w_chosen, w_folds), r.conv_id
+    # the search is non-degenerate: different series choose different params
+    assert got["chosen_param"].nunique() > 1
+
+
+def test_tune_mode_chooser(spark, series_df):
+    got = tune_per_series(
+        series_df, param_grid=[1, 2, 4, 8], chooser="mode"
+    ).toPandas()
+    assert set(got["chosen_param"]).issubset({1.0, 2.0, 4.0, 8.0})
+
+
+def test_ladder_early_stop_prefix_property(spark, series_df):
+    """Early-stop evaluates a prefix of the grid: with patience >= grid size
+    it equals the exhaustive search."""
+    a = tune_per_series(
+        series_df, param_grid=[1, 2, 4, 8], ladder_early_stop=True, patience=8
+    ).toPandas().sort_values("conv_id").reset_index(drop=True)
+    b = tune_per_series(series_df, param_grid=[1, 2, 4, 8]).toPandas().sort_values(
+        "conv_id"
+    ).reset_index(drop=True)
+    assert a.equals(b)
+    # with patience=1 the search still returns a valid grid member per series
+    c = tune_per_series(
+        series_df, param_grid=[1, 2, 4, 8], ladder_early_stop=True, patience=1
+    ).toPandas()
+    assert set(c["chosen_param"]).issubset({1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0})
+
+
+def test_cv_fit_predict_fold_replay(spark, series_df):
+    preds = cv_fit_predict(series_df, param=4).toPandas()
+    pdf = series_df.toPandas()
+    # spot-check one series: yhat is the decimal-exact last-4 mean per fold
+    conv = "s000"
+    vals = pdf[pdf.conv_id == conv].sort_values("turn_idx")["value"].to_numpy()
+    sub = preds[preds.conv_id == conv]
+    for f, cutoff in enumerate(expanding_cutoffs(len(vals), 3, 10, 5, 5)):
+        fold_rows = sub[sub.fold == f].sort_values("step")
+        assert len(fold_rows) == 10
+        assert (fold_rows["yhat"] == dec_mean(vals[cutoff - 4 : cutoff])).all()
+        assert np.array_equal(
+            fold_rows["y"].to_numpy(), vals[cutoff : cutoff + 10]
+        )
+
+
+def test_per_series_error_isolation(spark, series_df):
+    """A poison series fails alone: on_error='skip' completes the job, the
+    accumulator counts the failure, healthy series are untouched
+    (reference deprecated/ts_model.py:1258-1260)."""
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["conv_id"].iloc[0] == "s007":
+            raise RuntimeError("poison series")
+        return pd.DataFrame(
+            {"conv_id": [pdf["conv_id"].iloc[0]], "n": [len(pdf)]}
+        )
+
+    out = apply_per_series(
+        series_df,
+        kernel,
+        "conv_id string, n long",
+        on_error="skip",
+        error_acc=acc,
+    ).toPandas()
+    assert acc.value == 1
+    assert "s007" not in set(out["conv_id"])
+    assert len(out) == 59
+
+    with pytest.raises(Exception, match="poison"):
+        apply_per_series(series_df, kernel, "conv_id string, n long").count()
+
+
+def test_read_partitioned_concat_semantics(spark, tmp_path):
+    """S5 parity (reference tests/extras/datasets/test_concatened_dataset.py:
+    42-167): load=concat of selected partitions; regex and callable filters;
+    per-partition preprocess; zero partitions -> error."""
+    from mpnsm_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(g, i, float(i * 10)) for g in ("a", "b", "c") for i in range(4)],
+        "grp string, i int, v double",
+    )
+    io.append(df, "t", partition_by=["grp"])
+    assert io.partitions("t") == ["grp=a", "grp=b", "grp=c"]
+
+    full = io.read_partitioned(spark, "t").toPandas()
+    assert len(full) == 12 and set(full["grp"]) == {"a", "b", "c"}
+
+    ab = io.read_partitioned(spark, "t", partition_filter="grp=[ab]").toPandas()
+    assert set(ab["grp"]) == {"a", "b"} and len(ab) == 8
+
+    c_only = io.read_partitioned(
+        spark, "t", partition_filter=lambda p: p.endswith("=c")
+    ).toPandas()
+    assert set(c_only["grp"]) == {"c"}
+
+    boosted = io.read_partitioned(
+        spark,
+        "t",
+        partition_filter="grp=[ab]",
+        preprocess=lambda d, p: d.withColumn(
+            "v", F.col("v") + (100 if p == "grp=a" else 200)
+        ),
+    ).toPandas()
+    assert boosted[boosted.grp == "a"]["v"].min() == 100.0
+    assert boosted[boosted.grp == "b"]["v"].min() == 200.0
+
+    with pytest.raises(ValueError, match="zero partitions"):
+        io.read_partitioned(spark, "t", partition_filter="grp=z")
+
+
+def test_residual_intervals_coverage(spark, series_df):
+    """[q10,q90] residual intervals cover ~80% of scored points by
+    construction on each series."""
+    from pyspark.sql import Window
+
+    from mpnsm_spark.operators.uncertainty import interval_coverage, residual_intervals
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    scored = (
+        series_df.withColumn("yhat", F.lag("value").over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select("conv_id", F.col("value").alias("y"), "yhat")
+    )
+    cov = interval_coverage(residual_intervals(scored)).toPandas()
+    assert len(cov) == 60
+    assert ((cov["coverage"] >= 0.7) & (cov["coverage"] <= 0.95)).all()
+    assert (cov["mean_width"] > 0).all()
