@@ -1209,6 +1209,61 @@ WHERE {cos} >= {threshold}
 """
 
 
+def q_stepwise_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stepwise autoregressive predict with cross-target feedback (reference
+    forecast.py:435-469 + update_data :343-382): a 10-step walk per user
+    where each step's target-A prediction feeds target-B's same step; the
+    sequential loop runs inside the per-series kernel and the oracle replays
+    it bitwise with a recursive CTE."""
+    from pyspark.sql import types as T
+
+    from mpnsm_spark.operators.forecast import stepwise_predict
+
+    ev = _t(spark, sf_dir, "events")
+    kschema = T.StructType([T.StructField("k", T.LongType())])
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("value").alias("a"),
+        F.coalesce(
+            F.from_json("props", kschema)["k"].cast("double"), F.lit(0.0)
+        ).alias("b"),
+    )
+    out = stepwise_predict(
+        base, horizon=10, order_col=["ts", "event_id"], a_col="a", b_col="b"
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"), "step", "yhat_a", "yhat_b"
+    )
+
+
+SQL_STEPWISE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, value,
+         coalesce(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE), 0.0) AS kv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), base AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS mean_a,
+         max(CASE WHEN rn = n THEN value END) AS a0,
+         max(CASE WHEN rn = n THEN kv END) AS b0
+  FROM ordered GROUP BY user_id HAVING count(*) >= 3
+), walk AS (
+  SELECT user_id, mean_a, 0 AS step, a0 AS ya, b0 AS yb FROM base
+  UNION ALL
+  SELECT user_id, mean_a, step + 1,
+         (ya + mean_a) * 0.5,
+         yb * 0.7 + ((ya + mean_a) * 0.5) * 0.3
+  FROM walk WHERE step < 10
+)
+SELECT user_id, CAST(step AS INT) AS step, ya AS yhat_a, yb AS yhat_b
+FROM walk WHERE step >= 1
+"""
+
+
 # ----------------------------------------------- generated oracle SQL (LSH &c)
 
 
@@ -1434,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_coverage": q_intervals_coverage,
         "hyperparam_cv": q_hyperparam_cv,
         "signlsh_near_dups": q_signlsh_near_dups,
+        "stepwise_predict": q_stepwise_predict,
     }
 
 
@@ -1479,4 +1535,5 @@ def oracle_sql() -> dict[str, str]:
         "intervals_coverage": SQL_INTERVALS,
         "hyperparam_cv": SQL_HYPERPARAM,
         "signlsh_near_dups": _sql_signlsh(),
+        "stepwise_predict": SQL_STEPWISE,
     }

@@ -188,3 +188,31 @@ def test_residual_intervals_coverage(spark, series_df):
     assert len(cov) == 60
     assert ((cov["coverage"] >= 0.7) & (cov["coverage"] <= 0.95)).all()
     assert (cov["mean_width"] > 0).all()
+
+
+def test_stepwise_predict_matches_closed_form(spark, series_df):
+    """Stepwise walk vs the closed-form recurrence: a_k converges toward the
+    train mean; b_k blends a's same-step prediction (cross-target feedback)."""
+    from mpnsm_spark.operators.forecast import stepwise_predict
+    from mpnsm_spark.functions.tuning import dec_mean
+
+    two = series_df.withColumn("b", F.col("value") * 2.0).withColumnRenamed(
+        "value", "a"
+    )
+    got = stepwise_predict(two, horizon=5, a_col="a", b_col="b").toPandas()
+    pdf = two.toPandas()
+    assert set(got["conv_id"]) == set(pdf["conv_id"])
+    for conv in ("s000", "s031"):
+        g = pdf[pdf.conv_id == conv].sort_values("turn_idx")
+        a = g["a"].to_numpy()
+        mean_a = dec_mean(a)
+        ya, yb = float(a[-1]), float(g["b"].iloc[-1])
+        sub = got[got.conv_id == conv].sort_values("step")
+        for k in range(5):
+            ya = (ya + mean_a) * 0.5
+            yb = yb * 0.7 + ya * 0.3
+            assert sub["yhat_a"].iloc[k] == ya
+            assert sub["yhat_b"].iloc[k] == yb
+        # convergence toward the mean: |a_k - mean| halves each step
+        resid = (sub["yhat_a"] - mean_a).abs().to_numpy()
+        assert (resid[1:] <= resid[:-1] * 0.5 + 1e-9).all()
