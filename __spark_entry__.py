@@ -137,8 +137,13 @@ GROUP BY 1, 2
 
 
 def q_gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2+W5+W6: dense hourly grid per user, LOCF + linear interpolation."""
-    from mpnsm_spark.operators.gapfill import gapfill
+    """J2+W5+W6: dense hourly grid per user, LOCF + linear interpolation.
+
+    Uses the fused anchored path (one lead() window + explode, no grid join)
+    — valid because the hourly value_avg aggregate is never null; bitwise
+    parity with the generic grid-join path is pinned by
+    tests/test_gapfill.py::test_gapfill_anchored_bitwise_equals_generic."""
+    from mpnsm_spark.operators.gapfill import gapfill_anchored
 
     ev = _t(spark, sf_dir, "events")
     t1h = (
@@ -150,7 +155,7 @@ def q_gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.col("n")).alias("value_avg"),
         )
     )
-    out = gapfill(t1h, "1h")
+    out = gapfill_anchored(t1h, "1h")
     return out.select(
         F.col("conv_id").cast("bigint").alias("user_id"),
         "bucket_start",

@@ -108,3 +108,64 @@ def gapfill(
         locf.alias("value_locf"),
         linear.alias("value_linear"),
     )
+
+
+def gapfill_anchored(
+    tier_df: DataFrame, tier: str, value_col: str = "value_avg"
+) -> DataFrame:
+    """Fused gap-fill for inputs whose value column is NEVER null — true for
+    every tier table (``value_avg = value_sum / turn_count`` with
+    ``turn_count >= 1``), i.e. every row is an interpolation anchor and gaps
+    exist only strictly *between* consecutive anchors.
+
+    That invariant collapses the generic plan (extent agg + grid explode +
+    grid⋈values join + TWO ordered window passes) into ONE ``lead()`` window
+    and an ``explode(sequence(...))`` projection: no join, no second sort, and
+    ~3× less data movement — the shape you want when the dense grid is
+    10^11 rows. Output and float math are bitwise-identical to
+    :func:`gapfill` on null-free input (same expression order in the linear
+    interpolation).
+    """
+    step = TIER_SECONDS[tier]
+    w = Window.partitionBy("conv_id").orderBy("bucket_start")
+    src = tier_df.select(
+        "conv_id", "bucket_start", F.col(value_col).alias("_v")
+    ).withColumns(
+        {
+            "_nb": F.lead("bucket_start").over(w),
+            "_nv": F.lead("_v").over(w),
+        }
+    )
+    # Each anchor expands to itself + the strictly-between gap buckets of its
+    # forward interval; the last anchor (no lead) emits only itself, so the
+    # union over anchors is exactly the dense [min, max] grid.
+    seq = F.when(
+        F.col("_nb").isNotNull(),
+        F.sequence(
+            F.col("bucket_start"),
+            F.expr(f"_nb - INTERVAL {step} SECOND"),
+            F.expr(f"INTERVAL {step} SECOND"),
+        ),
+    ).otherwise(F.array(F.col("bucket_start")))
+    ex = src.select(
+        "conv_id",
+        F.col("bucket_start").alias("_pb"),
+        "_v",
+        "_nb",
+        "_nv",
+        F.explode(seq).alias("bucket_start"),
+    )
+    is_gap = F.col("bucket_start") != F.col("_pb")
+    t = F.unix_timestamp("bucket_start")
+    prev_t = F.unix_timestamp("_pb")
+    next_t = F.unix_timestamp("_nb")
+    linear = F.when(~is_gap, F.col("_v")).otherwise(
+        F.col("_v") + (F.col("_nv") - F.col("_v")) * (t - prev_t) / (next_t - prev_t)
+    )
+    return ex.select(
+        "conv_id",
+        "bucket_start",
+        is_gap.alias("is_gap"),
+        F.col("_v").alias("value_locf"),
+        linear.alias("value_linear"),
+    )

@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 
 from mpnsm_spark import TIERS
 from mpnsm_spark.generator import with_value
-from mpnsm_spark.operators.gapfill import gapfill
+from mpnsm_spark.operators.gapfill import gapfill_anchored
 from mpnsm_spark.operators.gorilla import encode_tier_chunks
 from mpnsm_spark.operators.rollup import cascade, rollup_encoded, rollup_raw
 from mpnsm_spark.operators.skew import with_salt
@@ -125,6 +125,13 @@ class PipelineConfig:
     points_per_chunk: int = 4096
     gapfill_tiers: tuple[str, ...] = ("1h", "1d")
     retention_cutoff: str | None = None  # drop raw turns with ts < cutoff
+    # File-level retention (Iceberg DELETE-WHERE shape): drop whole files
+    # whose footer max(ts) < cutoff, ADOPT untouched files by reference (zero
+    # copy), rewrite only cutoff-straddling files. Engages when the input is a
+    # bare parquet scan (validated by a footer-rowcount == count() guard);
+    # set False to force the row-level rewrite (e.g. when raw_df carries
+    # row-changing transformations the guard can't see, like text rewrites).
+    file_level_retention: bool = True
     # Run independent stages from concurrent driver threads. Default OFF:
     # with the single-exchange pipeline every stage is already cluster-wide,
     # and measured local-mode runs show inter-job contention (python-worker
@@ -249,29 +256,88 @@ def read_gapfill(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
 
 
 def read_raw_retained(spark: SparkSession, io: TableIO) -> DataFrame:
-    return _latest_snapshot(io.read(spark, "raw_retained"))
+    """Retained raw turns: adopted-by-reference files (file-level retention)
+    unioned with engine-rewritten snapshots (keep-last snapshot dedupe).
+    Derived columns are recomputed for adopted rows so both sides align."""
+    int_df, ext_df = io.read_parts(spark, "raw_retained")
+    parts = []
+    if ext_df is not None:
+        parts.append(with_value(ext_df))
+    if int_df is not None:
+        d = _latest_snapshot(int_df)
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.select(*parts[0].columns).unionByName(p.select(*parts[0].columns))
+    return out
+
+
+# ---------------------------------------------------- file-level retention
+
+
+def _strip_uri(f: str) -> str:
+    return f[len("file:"):] if f.startswith("file:") else f
+
+
+def parquet_footer_stats(files: list[str], ts_col: str = "ts") -> list[dict]:
+    """Per-file (path, rows, ts_min, ts_max) from parquet footers — metadata
+    reads only, no data I/O. This driver-side loop is the sandbox stand-in
+    for an Iceberg manifest scan: at 10^12-turn scale the same min/max/rows
+    live in the table's manifest files and the catalog answers this in one
+    call; the classification logic below is identical either way.
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        md = pq.read_metadata(f)
+        ci = md.schema.names.index(ts_col)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        out.append({"path": f, "rows": md.num_rows, "ts_min": lo, "ts_max": hi})
+    return out
+
+
+def classify_files_for_retention(
+    stats: list[dict], cutoff
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(dropped, adopted, straddling) under ``drop rows with ts < cutoff``.
+
+    Files missing ts stats are conservatively treated as straddling (they get
+    rewritten through the filter, which is always correct).
+    """
+    dropped, adopted, straddling = [], [], []
+    for s in stats:
+        if cutoff is None:
+            adopted.append(s)
+        elif s["ts_min"] is None or s["ts_max"] is None:
+            straddling.append(s)
+        elif s["ts_max"] < cutoff:
+            dropped.append(s)
+        elif s["ts_min"] >= cutoff:
+            adopted.append(s)
+        else:
+            straddling.append(s)
+    return dropped, adopted, straddling
 
 
 # ------------------------------------------------------------------ integrity
 
 
-def verify_turn_integrity(
-    spark: SparkSession, io: TableIO, reference_df: DataFrame
-) -> bool:
-    """Per-turn text equality under stable (conv_id, turn_idx) ordering.
-
-    Compares an order-insensitive per-conversation checksum of
-    (turn_idx, text) between the normalized reference rows and the stored
-    raw_retained table — cheap (two aggregations + a join on conv_id, no wide
-    text shuffle)."""
-    stored = read_raw_retained(spark, io)
+def checksums_match(reference_df: DataFrame, stored_df: DataFrame) -> bool:
+    """Order-insensitive per-conversation (turn_idx, text, ts) multiset
+    checksum equality. Hashes are computed map-side so only (conv, chk)
+    crosses the shuffle — the text column itself NEVER shuffles. bit_xor is
+    commutative/associative and overflow-free under ANSI mode; identical
+    duplicate rows cancel on BOTH sides equally, so equality still holds."""
 
     def checksum(df: DataFrame) -> DataFrame:
-        # Multiset checksum: hashes are computed map-side so only (conv, chk)
-        # crosses the shuffle — the text column itself NEVER shuffles. bit_xor
-        # is commutative/associative and overflow-free under ANSI mode;
-        # identical duplicate rows cancel on BOTH sides equally, so equality
-        # still holds.
         return df.groupBy("conv_id").agg(
             F.bit_xor(F.xxhash64("turn_idx", "text", "ts")).alias("chk"),
             F.count(F.lit(1)).alias("n"),
@@ -280,7 +346,7 @@ def verify_turn_integrity(
     bad = (
         checksum(reference_df)
         .alias("r")
-        .join(checksum(stored).alias("g"), "conv_id", "full")
+        .join(checksum(stored_df).alias("g"), "conv_id", "full")
         .filter(
             F.col("r.chk").isNull()
             | F.col("g.chk").isNull()
@@ -289,6 +355,14 @@ def verify_turn_integrity(
         )
     )
     return bad.limit(1).count() == 0
+
+
+def verify_turn_integrity(
+    spark: SparkSession, io: TableIO, reference_df: DataFrame
+) -> bool:
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    normalized reference rows vs the stored raw_retained table."""
+    return checksums_match(reference_df, read_raw_retained(spark, io))
 
 
 # -------------------------------------------------------------------- pipeline
@@ -451,8 +525,9 @@ def run_pipeline(
 
     def make_gapfill(tier: str):
         def produce(wave):
+            # anchored fast path: tier value_avg is never null (turn_count>=1)
             src = tier_source(tier).filter(in_wave(wave)).drop("bucket_id")
-            return with_salt(gapfill(src, tier), cfg.num_buckets)
+            return with_salt(gapfill_anchored(src, tier), cfg.num_buckets)
 
         return produce
 
@@ -473,6 +548,112 @@ def run_pipeline(
         if cfg.retention_cutoff:
             sub = sub.filter(F.col("ts") >= F.lit(cfg.retention_cutoff))
         return sub
+
+    def run_retention_file_level() -> bool:
+        """Iceberg DELETE-WHERE-shaped retention: whole files below the
+        cutoff are dropped by footer stats, untouched files are ADOPTED by
+        reference (metadata-only, zero copy), and only cutoff-straddling
+        files are rewritten + integrity-verified. At 10^12 turns this is the
+        difference between a metadata commit and rewriting the corpus.
+
+        Returns False (caller falls back to the row-level rewrite) when the
+        input is not a bare file scan: no input files, or the footer row
+        total disagrees with count() (a filter/expansion hides in raw_df).
+        """
+        import datetime as _dt
+
+        done = done_map.get("retention", set())
+        if -1 in done or done >= all_buckets:
+            with lock:
+                stages_run["retention"] = 0
+                integrity_ok[0] = True
+            return True
+        if done:
+            # partial ROW-level retention from a crashed prior run: adopting
+            # files now would duplicate the already-written buckets — finish
+            # at row level instead.
+            return False
+        files = [_strip_uri(f) for f in raw_df.inputFiles()]
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return False
+        t0 = time.time()
+        stats = parquet_footer_stats(files)
+        total_rows = sum(s["rows"] for s in stats)
+        if raw_df.count() != total_rows:  # metadata-only count for bare scans
+            return False
+        cutoff = None
+        if cfg.retention_cutoff:
+            cutoff = _dt.datetime.fromisoformat(cfg.retention_cutoff)
+            for s in stats:  # normalize tz-aware footer stats to naive UTC
+                for k in ("ts_min", "ts_max"):
+                    v = s[k]
+                    if v is not None and v.tzinfo is not None:
+                        s[k] = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        dropped, adopted, straddling = classify_files_for_retention(stats, cutoff)
+        assert all(
+            s["ts_max"] is not None and s["ts_max"] < cutoff for s in dropped
+        ), "retention would drop a file not entirely below the cutoff"
+        with lock:
+            stages_run["retention"] = 1
+        rewritten_rows = 0
+        version = 0
+        ok = True
+        if straddling:
+            src = spark.read.parquet(*[s["path"] for s in straddling])
+            sub = with_salt(with_value(src), cfg.num_buckets).filter(
+                F.col("ts") >= F.lit(cfg.retention_cutoff)
+            )
+            out = sub.withColumn(
+                "_v", F.lit(io.snapshot_version("raw_retained") + 1)
+            )
+            version = io.append(
+                out,
+                "raw_retained",
+                meta={"stage": "retention", "rewrote": len(straddling)},
+            )
+            int_df, _ = io.read_parts(spark, "raw_retained")
+            stored = _latest_snapshot(int_df)
+            rewritten_rows = stored.count()
+            # Full text-equality verify on the rewritten subset only — the
+            # adopted files are the SAME bytes by construction and the
+            # dropped files are proven below-cutoff by their footers.
+            ok = checksums_match(sub, stored)
+        if adopted:
+            version = max(
+                version,
+                io.adopt(
+                    [s["path"] for s in adopted],
+                    "raw_retained",
+                    meta={"stage": "retention", "dropped": len(dropped)},
+                ),
+            )
+        elif not straddling:
+            # Everything dropped: commit an empty snapshot so the table reads.
+            version = io.append(
+                raw_aug.filter(F.lit(False)).withColumn("_v", F.lit(1)),
+                "raw_retained",
+                meta={"stage": "retention", "dropped": len(dropped)},
+            )
+        adopted_rows = sum(s["rows"] for s in adopted)
+        stats_df = spark.range(1).select(
+            F.lit(-1).cast("int").alias("bucket_id"),
+            F.lit(adopted_rows + rewritten_rows).cast("long").alias("output_rows"),
+            F.lit(total_rows).cast("long").alias("input_rows"),
+        )
+        lineage = _lineage_df(
+            cfg, "retention", stats_df, time.time() - t0, version
+        )
+        submit(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
+        with lock:
+            stage_seconds["retention"] = round(time.time() - t0, 3)
+            integrity_ok[0] = ok
+        if not ok:
+            raise StageFailure(
+                "rewritten-file text integrity check failed — raw NOT droppable"
+            )
+        if fail_after_stage == "retention":
+            raise StageFailure("injected failure after stage retention")
+        return True
 
     def guarded(fn):
         try:
@@ -512,6 +693,8 @@ def run_pipeline(
             return run
 
         def retention_then_verify():
+            if cfg.file_level_retention and run_retention_file_level():
+                return
             run_stage("retention", produce_retention)
             ok = verify_turn_integrity(
                 spark,

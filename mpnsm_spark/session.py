@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO footer min/max stats for
+        # timestamps, which kills ts predicate pushdown AND the file-level
+        # retention classifier. Micros is the modern interoperable type.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound the pandas frames entering applyInPandas so a group's Arrow
         # batches never blow executor memory (SURVEY.md §4 spill-to-disk note).

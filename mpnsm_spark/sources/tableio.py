@@ -58,15 +58,18 @@ class TableIO:
         ]
         return max(versions, default=0)
 
-    def _committed_files(self, table: str) -> list[str]:
+    def _manifests(self, table: str) -> list[dict]:
         d = self._mdir(table)
-        files: list[str] = []
+        out: list[dict] = []
         for v in range(1, self.snapshot_version(table) + 1):
             p = os.path.join(d, f"v{v}.json")
             if os.path.exists(p):
                 with open(p) as fh:
-                    files.extend(json.load(fh)["files"])
-        return files
+                    out.append(json.load(fh))
+        return out
+
+    def _committed_files(self, table: str) -> list[str]:
+        return [f for m in self._manifests(table) for f in m["files"]]
 
     # ------------------------------------------------------------ operations
     def append(
@@ -86,7 +89,7 @@ class TableIO:
             return -1
         # A table's snapshots must share one layout (flat vs hive-partitioned):
         # mixing them makes partition-column recovery ambiguous on read.
-        prior = self._committed_files(table)
+        prior = [f for f in self._committed_files(table) if not os.path.isabs(f)]
         if prior:
             prior_partitioned = any("/" in f for f in prior)
             if prior_partitioned != bool(partition_by):
@@ -125,6 +128,57 @@ class TableIO:
             os.rename(tmp, os.path.join(self._mdir(table), f"v{version}.json"))
         return version
 
+    def adopt(self, files: list[str], table: str, meta: dict | None = None) -> int:
+        """Commit EXTERNAL parquet files into ``table`` by reference — a pure
+        metadata operation, zero data movement (Iceberg analog:
+        ``add_files`` / the untouched-file set of a copy-on-write ``DELETE``).
+
+        ``files`` must be absolute paths. Each adopt supersedes any previous
+        adopt on the table (read_parts keeps only the latest external
+        snapshot), so a crash-and-retry re-adopt is idempotent.
+        """
+        if self.iceberg:
+            raise NotImplementedError("use Iceberg add_files procedure")
+        bad = [f for f in files if not os.path.isabs(f)]
+        if bad:
+            raise ValueError(f"adopt requires absolute paths, got: {bad[:3]}")
+        with self._lock:
+            version = self.snapshot_version(table) + 1
+            manifest = {
+                "version": version,
+                "files": sorted(files),
+                "committed_at": time.time(),
+                "meta": {**(meta or {}), "external": True},
+            }
+            tmp = os.path.join(self._mdir(table), f".tmp_v{version}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(tmp, os.path.join(self._mdir(table), f"v{version}.json"))
+        return version
+
+    def read_parts(
+        self, spark: SparkSession, table: str
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(internal_df, external_df): engine-written snapshots vs the LATEST
+        adopted external snapshot (earlier adopts are superseded wholesale —
+        adoption is an all-at-once metadata commit, not an append)."""
+        manifests = self._manifests(table)
+        internal = [
+            f for m in manifests if not m["meta"].get("external") for f in m["files"]
+        ]
+        ext_manifests = [m for m in manifests if m["meta"].get("external")]
+        external = ext_manifests[-1]["files"] if ext_manifests else []
+        ddir = self._ddir(table)
+        int_df = (
+            spark.read.parquet(*[os.path.join(ddir, f) for f in internal])
+            if internal
+            else None
+        )
+        ext_df = spark.read.parquet(*external) if external else None
+        if int_df is None and ext_df is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshots")
+        return int_df, ext_df
+
     def overwrite(self, df: DataFrame, table: str, meta: dict | None = None) -> int:
         """Replace table contents (new snapshot superseding all prior ones)."""
         if self.iceberg:
@@ -142,6 +196,13 @@ class TableIO:
         files = self._committed_files(table)
         if not files:
             raise FileNotFoundError(f"table {table} has no committed snapshots")
+        if any(os.path.isabs(f) for f in files):
+            int_df, ext_df = self.read_parts(spark, table)
+            if int_df is None:
+                return ext_df
+            if ext_df is None:
+                return int_df
+            return int_df.unionByName(ext_df, allowMissingColumns=True)
         ddir = self._ddir(table)
         reader = spark.read
         if any("/" in f for f in files):
@@ -152,7 +213,9 @@ class TableIO:
     def partitions(self, table: str) -> list[str]:
         """Hive partition ids (e.g. ``role=tool``) across committed snapshots."""
         parts = {
-            os.path.dirname(f) for f in self._committed_files(table) if "/" in f
+            os.path.dirname(f)
+            for f in self._committed_files(table)
+            if "/" in f and not os.path.isabs(f)
         }
         return sorted(parts)
 

@@ -3,7 +3,7 @@
 import pandas as pd
 import pytest
 
-from mpnsm_spark.operators.gapfill import gapfill
+from mpnsm_spark.operators.gapfill import gapfill, gapfill_anchored
 from mpnsm_spark.operators.rollup import rollup_raw
 
 from .oracle_pandas import compare_frames, gapfill_pandas, rollup_pandas
@@ -18,6 +18,24 @@ def test_gapfill_matches_pandas(transcripts, tier):
     actual = gapfill(tier_df, tier).toPandas()
     expected = gapfill_pandas(rollup_pandas(transcripts.toPandas(), tier), tier)
     compare_frames(actual, expected, KEYS, float_cols=FLOATS)
+
+
+@pytest.mark.parametrize("tier", ["1h", "1d"])
+def test_gapfill_anchored_bitwise_equals_generic(transcripts, tier):
+    """The fused single-window path must be bitwise-identical to the generic
+    grid-join path on null-free (tier) input — the pipeline relies on it."""
+    tier_df = rollup_raw(transcripts, tier)
+    a = (
+        gapfill_anchored(tier_df, tier)
+        .toPandas()
+        .sort_values(KEYS)
+        .reset_index(drop=True)
+    )
+    g = gapfill(tier_df, tier).toPandas().sort_values(KEYS).reset_index(drop=True)
+    assert len(a) == len(g)
+    assert a["is_gap"].equals(g["is_gap"])
+    for c in FLOATS:
+        assert (a[c].to_numpy() == g[c].to_numpy()).all(), c
 
 
 def test_gapfill_fills_known_hole(spark):
