@@ -36,10 +36,44 @@ def child(bronze: str, cores: int, out_path: str) -> None:
     wh = tempfile.mkdtemp(prefix=f"prof_wh_{cores}_", dir="/dev/shm")
     from scaling_bench import _StealSampler
 
+    import threading
+
+    class _CpuSampler:
+        """VM-wide busy-cores sampler (nothing else runs on the box)."""
+
+        def __init__(self):
+            self.samples = []
+            self._stop = threading.Event()
+            self._t = threading.Thread(target=self._run, daemon=True)
+
+        def _read(self):
+            with open("/proc/stat") as fh:
+                v = list(map(int, fh.readline().split()[1:]))
+            busy = v[0] + v[1] + v[2] + v[5] + v[6]  # user+nice+sys+irq+softirq
+            return sum(v), busy
+
+        def _run(self):
+            pt, pb = self._read()
+            while not self._stop.wait(1.0):
+                t, b = self._read()
+                if t > pt:
+                    self.samples.append(
+                        (time.time(), os.cpu_count() * (b - pb) / (t - pt))
+                    )
+                pt, pb = t, b
+
+        def __enter__(self):
+            self._t.start()
+            return self
+
+        def __exit__(self, *e):
+            self._stop.set()
+            self._t.join(timeout=5)
+
     try:
         import time
 
-        with _StealSampler() as steal:
+        with _StealSampler() as steal, _CpuSampler() as cpu:
             t0 = time.time()
             summary = run_pipeline(
                 spark, raw, TableIO(wh),
@@ -48,6 +82,11 @@ def child(bronze: str, cores: int, out_path: str) -> None:
             summary["wall_seconds"] = round(time.time() - t0, 3)
         summary["cores"] = cores
         summary.update(steal.stats())
+        vals = [c for _, c in cpu.samples]
+        summary["busy_cores_avg"] = round(sum(vals) / max(len(vals), 1), 2)
+        summary["busy_cores_p90"] = round(
+            sorted(vals)[int(0.9 * len(vals))] if vals else 0.0, 2
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     with open(out_path, "w") as fh:
@@ -103,7 +142,8 @@ def main() -> None:
                 with open(out) as fh:
                     r = json.load(fh)
                 print(f"cores={cores} rep={rep}: wall={r['wall_seconds']} "
-                      f"steal_avg={r['steal_avg_pct']} steal_max={r['steal_max_pct']}",
+                      f"steal_avg={r['steal_avg_pct']} steal_max={r['steal_max_pct']} "
+                      f"busy_avg={r.get('busy_cores_avg')} busy_p90={r.get('busy_cores_p90')}",
                       flush=True)
                 if best is None or r["wall_seconds"] < best["wall_seconds"]:
                     best = r

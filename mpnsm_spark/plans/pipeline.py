@@ -485,7 +485,7 @@ def run_pipeline(
             # Lineage commits AFTER the data (crash between them only re-runs
             # the bucket) but OFF the critical path: dependents need the data,
             # not the lineage row.
-            submit(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
+            submit_async(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
             fresh.append(out)
             if fail_after_stage == stage:
                 raise StageFailure(f"injected failure after stage {stage}")
@@ -643,7 +643,7 @@ def run_pipeline(
         lineage = _lineage_df(
             cfg, "retention", stats_df, time.time() - t0, version
         )
-        submit(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
+        submit_async(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
         with lock:
             stage_seconds["retention"] = round(time.time() - t0, 3)
             integrity_ok[0] = ok
@@ -672,6 +672,15 @@ def run_pipeline(
         if serial_dag:
             guarded(fn)
             return
+        with lock:
+            futs.append(ex.submit(guarded, fn))
+
+    def submit_async(fn):
+        """Off-critical-path I/O (lineage appends): ALWAYS pooled, even under
+        the serial stage DAG — dependents need the stage's data, never its
+        lineage row, and these 1-file writes otherwise add a serial barrier
+        per stage. The end-of-run wait() drains them before the summary reads
+        the lineage table."""
         with lock:
             futs.append(ex.submit(guarded, fn))
 

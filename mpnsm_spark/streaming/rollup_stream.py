@@ -126,6 +126,94 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_to_tableio(
+    spark,
+    stream_df: DataFrame,
+    io,
+    table: str = "tier_1m",
+    watermark: str = "10 minutes",
+    tool_vocab: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    num_buckets: int = 16,
+    run_id: str = "stream",
+):
+    """Production streaming sink: append-mode (only watermark-FINALIZED
+    windows emit) through ``foreachBatch`` into the same TableIO commit path
+    as the batch pipeline — one snapshot + one lineage append per micro-batch,
+    so ``read_tier`` and the resume machinery see streaming output
+    identically to batch output.
+
+    Exactly-once story: the checkpoint replays an uncommitted micro-batch
+    after a crash; the replayed append writes identical rows at a higher
+    snapshot version and :func:`read_stream_tier` keeps one copy per
+    (conv_id, bucket_start) — the same crash-between-data-and-lineage
+    contract as the batch stages (append mode emits each finalized window
+    exactly once, so non-replay snapshots never overlap).
+
+    Returns the configured DataStreamWriter — the caller picks the trigger
+    (``.trigger(availableNow=True).start()`` for finite replay, processing-
+    time triggers for continuous ingestion) and owns await/stop.
+    """
+    import time as _time
+
+    from mpnsm_spark.operators.skew import with_salt
+
+    agg = with_salt(
+        streaming_rollup_1m(stream_df, watermark=watermark, tool_vocab=tool_vocab),
+        num_buckets,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.time()
+        out = batch_df.withColumn(
+            "_v", F.lit(io.snapshot_version(table) + 1)
+        ).cache()
+        try:
+            version = io.append(
+                out, table, meta={"stream_batch": int(batch_id)}
+            )
+            stats = out.groupBy("bucket_id").agg(
+                F.count(F.lit(1)).alias("output_rows"),
+                F.sum("turn_count").alias("input_rows"),
+            )
+            lineage = stats.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(f"stream_{table}").alias("stage"),
+                F.col("bucket_id").cast("int").alias("bucket_id"),
+                F.col("input_rows").cast("long").alias("input_rows"),
+                F.col("output_rows").cast("long").alias("output_rows"),
+                F.lit(0).cast("long").alias("encode_bytes"),
+                F.lit(float(_time.time() - t0)).alias("wall_seconds"),
+                F.lit("ok").alias("status"),
+                F.lit(version).cast("int").alias("version"),
+            )
+            io.append(lineage.coalesce(1), "lineage")
+        finally:
+            out.unpersist()
+
+    writer = agg.writeStream.outputMode("append").foreachBatch(_sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_stream_tier(spark, io, table: str = "tier_1m") -> DataFrame:
+    """Read a streaming-appended tier table. The batch reader's snapshot
+    dedupe is BUCKET-granular (a batch stage writes a bucket atomically);
+    streaming appends a bucket's windows across many micro-batches, so the
+    dedupe unit here is the window itself: per (conv_id, bucket_start) keep
+    the highest snapshot version (checkpoint-replay duplicates are identical
+    rows at a higher ``_v``)."""
+    df = io.read(spark, table)
+    others = [c for c in df.columns if c not in ("conv_id", "bucket_start")]
+    out = df.groupBy("conv_id", "bucket_start").agg(
+        F.max_by(F.struct(*others), F.col("_v")).alias("_r")
+    )
+    return out.select(
+        "conv_id", "bucket_start", *[F.col(f"_r.{c}").alias(c) for c in others]
+    ).drop("_v", "bucket_id")
+
+
 def batch_equivalent(
     raw_df: DataFrame, tool_vocab: list[str] | None = None
 ) -> DataFrame:

@@ -23,7 +23,11 @@ Protocol (holds everything constant except core count):
   Gorilla chunks → retention + integrity + lineage (single wave);
 - every run is launched only in a steal-quiet window (``wait_quiet``) and
   records steal%; runs with steal_avg > 1% are re-measured (this microVM
-  sees bursty hypervisor steal that can triple wall time).
+  sees bursty hypervisor steal that can triple wall time);
+- N and 4N runs are INTERLEAVED as adjacent pairs and the headline
+  efficiency is the MEDIAN pair ratio: the host also has multi-minute
+  half-speed regimes invisible to guest steal counters (identical runs
+  swing ~2x at steal <1%), and only runs adjacent in time share a regime.
 
 Usage:  python scaling_bench.py [--turns 26000000] [--cores 4 16]
 Writes SCALING.json and prints the summary.
@@ -159,6 +163,36 @@ def child(bronze: str, cores: int, out_path: str) -> None:
     spark.stop()
 
 
+def _membw_stream(_: int) -> int:
+    import numpy as np
+
+    a = np.ones(256 * 1024 * 1024 // 8, np.float64)
+    b = np.empty_like(a)
+    for _ in range(8):
+        np.copyto(b, a)
+    return 0
+
+
+def mem_bandwidth(n: int, reps: int = 2) -> float:
+    """Aggregate DRAM copy bandwidth (GB/s) at n concurrent processes —
+    STREAM-copy analog. Complements the sha256 probe: Spark shuffle/agg/
+    parquet work is partly DRAM-bound, and on one box DRAM is SHARED across
+    cores (4x threads ≠ 4x bandwidth), while 4x executors on a real cluster
+    IS 4x bandwidth. Shipped in SCALING.json so the single-box ceiling is
+    auditable."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(reps):
+        wait_quiet(max_wait_s=60, consecutive=1)
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            p.map(_membw_stream, range(n))
+            wall = time.time() - t0
+        best = max(best, n * 2 * 0.25 * 8 / wall)  # GB touched / s
+    return round(best, 1)
+
+
 def _burn_fixed(work: int) -> int:
     import hashlib
 
@@ -226,15 +260,18 @@ def main() -> None:
         ).write.mode("overwrite").parquet(bronze)
         spark.stop()
 
-        results = []
-        for cores in args.cores:
-            best = None
-            rep = 0
+        # INTERLEAVED pairs: this host shows multi-minute half-speed regimes
+        # that guest steal counters do NOT see (identical runs swing ~2x with
+        # steal <1%). Measuring lo,lo,lo,hi,hi,hi lets a regime shift between
+        # the groups masquerade as (anti-)scaling; lo,hi adjacent in time
+        # share a regime, so THEIR ratio is the engine-scaling signal. We run
+        # `repeats` adjacent pairs and take the median pair efficiency.
+        def run_child(cores: int, tag: str) -> dict:
             attempts = 0
-            while rep < args.repeats and attempts < args.repeats * 3:
+            while True:
                 attempts += 1
                 wait_quiet()
-                out = os.path.join(tmp, f"r{cores}_{attempts}.json")
+                out = os.path.join(tmp, f"r{cores}_{tag}_{attempts}.json")
                 subprocess.run(
                     [
                         sys.executable, __file__, "--child", "--bronze", bronze,
@@ -244,14 +281,24 @@ def main() -> None:
                 )
                 with open(out) as fh:
                     r = json.load(fh)
-                print(f"run cores={cores} attempt={attempts}: {r}", flush=True)
-                if r["steal_avg_pct"] > args.max_steal:
-                    print("  -> discarded (steal burst), re-measuring", flush=True)
-                    continue
-                rep += 1
-                if best is None or r["wall_seconds"] < best["wall_seconds"]:
-                    best = r
-            results.append(best)
+                print(f"run cores={cores} pair={tag} attempt={attempts}: {r}",
+                      flush=True)
+                if r["steal_avg_pct"] <= args.max_steal or attempts >= 3:
+                    return r
+
+        pairs = []
+        for rep in range(args.repeats):
+            lo_r = run_child(args.cores[0], f"p{rep}")
+            hi_r = run_child(args.cores[1], f"p{rep}")
+            eff = (
+                hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
+            ) / (args.cores[1] / args.cores[0])
+            pairs.append({"lo": lo_r, "hi": hi_r, "efficiency": round(eff, 3)})
+            print(f"pair {rep}: efficiency={eff:.3f}", flush=True)
+
+        best_lo = min((p["lo"] for p in pairs), key=lambda r: r["wall_seconds"])
+        best_hi = min((p["hi"] for p in pairs), key=lambda r: r["wall_seconds"])
+        results = [best_lo, best_hi]
 
         # Machine CPU-capacity baseline at both levels (the single-box ceiling:
         # all-core frequency < few-core turbo, so 4x cores < 4x capacity even
@@ -260,21 +307,34 @@ def main() -> None:
         cap_lo = cpu_capacity(args.cores[0])
         cap_hi = cpu_capacity(args.cores[1])
         hw_ratio = cap_hi / cap_lo
+        bw_lo = mem_bandwidth(args.cores[0])
+        bw_hi = mem_bandwidth(args.cores[1])
 
         lo, hi = results
-        ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
         core_ratio = hi["cores"] / lo["cores"]
-        efficiency = ratio / core_ratio
+        pair_effs = sorted(p["efficiency"] for p in pairs)
+        efficiency = pair_effs[len(pair_effs) // 2]  # median adjacent pair
+        best_ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
         report = {
             "input_turns": lo["input_turns"],
             "runs": results,
+            "pairs": [
+                {
+                    "lo_wall": p["lo"]["wall_seconds"],
+                    "hi_wall": p["hi"]["wall_seconds"],
+                    "efficiency": p["efficiency"],
+                }
+                for p in pairs
+            ],
             "repeats": args.repeats,
-            "speedup": round(ratio, 3),
+            "speedup_best": round(best_ratio, 3),
             "core_ratio": core_ratio,
             "scaling_efficiency": round(efficiency, 3),
+            "pair_efficiencies": pair_effs,
             "hw_capacity_ratio": round(hw_ratio, 3),
             "hw_ceiling_efficiency": round(hw_ratio / core_ratio, 3),
-            "efficiency_vs_hw_ceiling": round(ratio / hw_ratio, 3),
+            "membw_gbps": {str(lo["cores"]): bw_lo, str(hi["cores"]): bw_hi},
+            "membw_ratio": round(bw_hi / bw_lo, 3),
             "target": 0.8,
             "pass": efficiency >= 0.8,
         }

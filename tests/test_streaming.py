@@ -37,6 +37,146 @@ def test_streaming_rollup_equals_batch(spark):
     compare_frames(got, want, ["conv_id", "bucket_start"], float_cols=FLOATS)
 
 
+def _write_batch(spark, rows, path):
+    """One micro-batch file (file-source ordering follows mtime)."""
+    import time
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+
+def test_stream_to_tableio_sink_and_late_drop(spark, tmp_path):
+    """foreachBatch → TableIO sink: finalized windows land as snapshots with
+    lineage; a row later than the watermark is DROPPED (bucket already
+    finalized) and never corrupts the stored tier."""
+    from mpnsm_spark.generator import with_value
+    from mpnsm_spark.sources.tableio import TableIO
+    from mpnsm_spark.streaming.rollup_stream import read_stream_tier, stream_to_tableio
+
+    src = str(tmp_path / "src")
+    on_time = [
+        ("c1", 0, "user", "a", None, "2025-01-01 10:00:10"),
+        ("c1", 1, "assistant", "bb", "exec", "2025-01-01 10:00:40"),
+        ("c1", 2, "user", "ccc", None, "2025-01-01 10:05:05"),
+        ("c2", 0, "user", "dddd", "browse", "2025-01-01 10:01:30"),
+    ]
+    advance = [("c2", 1, "assistant", "ee", None, "2025-01-01 10:30:00")]
+    late = [("c1", 3, "user", "LATE", None, "2025-01-01 10:02:00")]  # dropped
+    flush = [("__flush__", 0, "user", "x", None, "2025-01-01 11:00:00")]
+
+    io = TableIO(str(tmp_path / "wh"))
+
+    def run_available(_):
+        # one availableNow run per arrival wave; the watermark persists in
+        # the checkpoint, so each wave sees the PREVIOUS wave's watermark —
+        # deterministic late-row semantics regardless of file batching
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_to_tableio(
+                spark,
+                with_value(stream),
+                io,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                num_buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for rows in (on_time, advance, late, flush):
+        _write_batch(spark, rows, src)
+        run_available(rows)
+
+    got = read_stream_tier(spark, io, "tier_1m").toPandas()
+    assert "__flush__" not in set(got["conv_id"])  # its window never finalized
+    # the late 10:02 row must NOT have opened a window
+    c1_buckets = set(got[got.conv_id == "c1"].bucket_start.dt.strftime("%H:%M"))
+    assert c1_buckets == {"10:00", "10:05"}
+    import pandas as pd
+
+    exp_pdf = pd.DataFrame(
+        on_time + advance,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    exp_pdf["ts"] = pd.to_datetime(exp_pdf["ts"])
+    expected = with_value(spark.createDataFrame(exp_pdf, schema=TRANSCRIPT_SCHEMA))
+    want = batch_equivalent(expected).toPandas()
+    compare_frames(
+        got.drop(columns=["tools_mask"], errors="ignore"),
+        want,
+        ["conv_id", "bucket_start"],
+        float_cols=FLOATS,
+    )
+    # lineage rows for every micro-batch that emitted windows
+    lin = io.read(spark, "lineage").toPandas()
+    assert (lin.stage == "stream_tier_1m").all()
+    assert lin.output_rows.sum() == len(got)
+
+
+def test_stream_checkpoint_restart_appends_only_new(spark, tmp_path):
+    """Second availableNow run on the same checkpoint processes only new
+    files; the stored tier accumulates without duplicating old windows."""
+    from mpnsm_spark.generator import with_value
+    from mpnsm_spark.sources.tableio import TableIO
+    from mpnsm_spark.streaming.rollup_stream import read_stream_tier, stream_to_tableio
+
+    src = str(tmp_path / "src2")
+    first = [
+        ("c1", 0, "user", "a", None, "2025-01-01 09:00:05"),
+        ("c1", 1, "user", "b", None, "2025-01-01 09:00:30"),
+    ]
+    flush1 = [("__f1__", 0, "user", "x", None, "2025-01-01 09:30:00")]
+    _write_batch(spark, first, src)
+    _write_batch(spark, flush1, src)
+
+    io = TableIO(str(tmp_path / "wh2"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_to_tableio(
+                spark,
+                with_value(stream),
+                io,
+                checkpoint_dir=str(tmp_path / "ckpt2"),
+                num_buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = read_stream_tier(spark, io, "tier_1m").count()
+    assert n1 == 1  # c1's 09:00 window
+
+    second = [("c2", 0, "user", "c", None, "2025-01-01 09:40:00")]
+    flush2 = [("__f2__", 0, "user", "y", None, "2025-01-01 10:30:00")]
+    _write_batch(spark, second, src)
+    _write_batch(spark, flush2, src)
+    run_once()
+    got = read_stream_tier(spark, io, "tier_1m").toPandas()
+    assert len(got) == 3  # c1 window + __f1__ window (now finalized) + c2
+    assert got[got.conv_id == "c1"].turn_count.iloc[0] == 2  # no duplication
+
+
 def test_streaming_rollup_out_of_order_arrival(spark):
     """Rows arriving shuffled across micro-batches aggregate identically
     (state keyed on (conv, window); first/last bound to turn_idx)."""
