@@ -27,7 +27,12 @@ Protocol (holds everything constant except core count):
 - N and 4N runs are INTERLEAVED as adjacent pairs and the headline
   efficiency is the MEDIAN pair ratio: the host also has multi-minute
   half-speed regimes invisible to guest steal counters (identical runs
-  swing ~2x at steal <1%), and only runs adjacent in time share a regime.
+  swing ~2x at steal <1%), and only runs adjacent in time share a regime;
+- children are ``taskset``-PINNED to exactly N CPUs: unpinned local[N] on a
+  32-vCPU box runs python workers / GC / IO threads OFF the N task slots
+  (an unpinned "4-core" run was measured out-running a 16-core run) — a
+  real N-core executor has no such free cores, and the N-vs-4N comparison
+  requires local[N] to actually mean N CPUs.
 
 Usage:  python scaling_bench.py [--turns 26000000] [--cores 4 16]
 Writes SCALING.json and prints the summary.
@@ -232,6 +237,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--max-steal", type=float, default=1.0,
                     help="re-measure a rep whose steal_avg_pct exceeds this")
+    ap.add_argument("--no-pin", dest="pin", action="store_false",
+                    help="don't taskset-pin children to N CPUs")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--bronze")
     ap.add_argument("--child-cores", type=int)
@@ -272,8 +279,17 @@ def main() -> None:
                 attempts += 1
                 wait_quiet()
                 out = os.path.join(tmp, f"r{cores}_{tag}_{attempts}.json")
+                # PIN the child (JVM + its python workers + GC + IO threads)
+                # to exactly `cores` CPUs: on this 32-vCPU box an unpinned
+                # local[4] job runs python workers and JVM service threads
+                # OFF the 4 task slots — free extra cores a real 4-core
+                # executor does not have (measured: an unpinned "4-core" run
+                # out-ran a 16-core run). Pinning makes local[N] mean N CPUs,
+                # which is what comparing cluster sizes N vs 4N requires.
+                pin = ["taskset", "-c", f"0-{cores - 1}"] if args.pin else []
                 subprocess.run(
                     [
+                        *pin,
                         sys.executable, __file__, "--child", "--bronze", bronze,
                         "--child-cores", str(cores), "--out", out,
                     ],
@@ -335,6 +351,7 @@ def main() -> None:
             "hw_ceiling_efficiency": round(hw_ratio / core_ratio, 3),
             "membw_gbps": {str(lo["cores"]): bw_lo, str(hi["cores"]): bw_hi},
             "membw_ratio": round(bw_hi / bw_lo, 3),
+            "pinned": args.pin,
             "target": 0.8,
             "pass": efficiency >= 0.8,
         }
