@@ -134,8 +134,13 @@ def main() -> None:
             for rep in range(args.repeats):
                 wait_quiet(max_wait_s=300)
                 out = os.path.join(tmp, f"p{cores}_{rep}.json")
+                pin = (
+                    ["taskset", "-c", f"0-{cores - 1}"]
+                    if os.environ.get("PROFILE_PIN", "1") == "1"
+                    else []
+                )
                 subprocess.run(
-                    [sys.executable, __file__, "--child", "--bronze", bronze,
+                    [*pin, sys.executable, __file__, "--child", "--bronze", bronze,
                      "--child-cores", str(cores), "--out", out],
                     check=True, cwd=REPO,
                 )

@@ -91,11 +91,35 @@ TIER_COLUMNS = [
 ]
 
 
-def _finish_tier(grouped: DataFrame, tool_vocab: list[str]) -> DataFrame:
+# What the pipeline STORES/CACHES: `tools` (array<string>) and
+# `distinct_tools` are pure projections of `tools_mask` + the vocab, so
+# persisting them only bloats every tier write/cache (the array column is the
+# single widest tier field at ~17M rows per 20M turns). `decode_tier` /
+# `read_tier` reconstruct them losslessly on read.
+TIER_COLUMNS_STORED = [c for c in TIER_COLUMNS if c not in ("tools", "distinct_tools")]
+
+
+def decode_tier(df: DataFrame, tool_vocab: list[str]) -> DataFrame:
+    """Reconstruct the derived tools/distinct_tools columns from the mask."""
+    return df.withColumns(
+        {
+            "tools": tools_from_mask(F.col("tools_mask"), tool_vocab),
+            "distinct_tools": F.bit_count("tools_mask").cast("int"),
+        }
+    ).select(*TIER_COLUMNS, *[c for c in df.columns if c not in TIER_COLUMNS])
+
+
+def _finish_tier(
+    grouped: DataFrame, tool_vocab: list[str], decode_tools: bool = True
+) -> DataFrame:
+    out = grouped.withColumn(
+        "value_avg", F.col("value_sum") / F.col("turn_count")
+    )
+    if not decode_tools:
+        return out.select(*TIER_COLUMNS_STORED)
     return (
-        grouped.withColumn("tools", tools_from_mask(F.col("tools_mask"), tool_vocab))
+        out.withColumn("tools", tools_from_mask(F.col("tools_mask"), tool_vocab))
         .withColumn("distinct_tools", F.bit_count("tools_mask").cast("int"))
-        .withColumn("value_avg", F.col("value_sum") / F.col("turn_count"))
         .select(*TIER_COLUMNS)
     )
 
@@ -145,7 +169,11 @@ def rollup_raw(
 
 
 def rollup_encoded(
-    norm: DataFrame, tier: str, role_vocab: list[str], tool_vocab: list[str]
+    norm: DataFrame,
+    tier: str,
+    role_vocab: list[str],
+    tool_vocab: list[str],
+    decode_tools: bool = True,
 ) -> DataFrame:
     """rollup_raw twin over dictionary-encoded input (role_id/tool_id ints,
     see ``pipeline.encode_role_tool``) — the pipeline's hot path: every
@@ -178,7 +206,7 @@ def rollup_encoded(
         F.min_by("value", "turn_idx").alias("first_value"),
         F.max_by("value", "turn_idx").alias("last_value"),
     )
-    return _finish_tier(grouped, tool_vocab)
+    return _finish_tier(grouped, tool_vocab, decode_tools)
 
 
 def _combine(grouped, tool_vocab: list[str] | None, tools_arrays: bool) -> DataFrame:

@@ -243,8 +243,19 @@ def _latest_snapshot(df: DataFrame) -> DataFrame:
 
 
 def read_tier(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
-    """Tier table with keep-last snapshot dedupe (U2 cache-merge semantics)."""
-    return _latest_snapshot(io.read(spark, f"tier_{tier}"))
+    """Tier table with keep-last snapshot dedupe (U2 cache-merge semantics).
+
+    Stored tiers carry only the fixed-width ``tools_mask``; the derived
+    ``tools`` array and ``distinct_tools`` are reconstructed here from the
+    vocabulary recorded in the table's manifest meta (persisting them would
+    bloat every tier write/cache with a redundant array<string> column)."""
+    from mpnsm_spark.operators.rollup import decode_tier
+
+    df = _latest_snapshot(io.read(spark, f"tier_{tier}"))
+    if "tools" not in df.columns:
+        vocab = io.table_meta(f"tier_{tier}").get("tool_vocab", [])
+        df = decode_tier(df, vocab)
+    return df
 
 
 def read_chunks(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
@@ -459,7 +470,9 @@ def run_pipeline(
             write_width = max(spark.sparkContext.defaultParallelism, 16)
             to_write = out if stage == "retention" else out.coalesce(write_width)
             version = io.append(
-                to_write, stage_table(stage), meta={"stage": stage, "buckets": wave}
+                to_write,
+                stage_table(stage),
+                meta={"stage": stage, "buckets": wave, "tool_vocab": tool_vocab},
             )
             # Per-bucket lineage in ONE job: stats over the cached output,
             # left-joined to the wave's bucket ids so empty buckets still get
@@ -500,12 +513,16 @@ def run_pipeline(
 
     def tier_source(tier: str) -> DataFrame:
         """Cached fresh output when this run produced all buckets, else
-        storage read with keep-last dedupe (resume path)."""
+        storage read with keep-last dedupe (resume path). Always the STORED
+        (mask-only) schema so every snapshot of a tier table is uniform."""
         with lock:
             df = fresh_outputs.get(f"tier_{tier}")
         if df is not None:
             return df.drop("_v")
-        return with_salt(read_tier(spark, io, tier), cfg.num_buckets)
+        stored = _latest_snapshot(io.read(spark, f"tier_{tier}")).drop(
+            "tools", "distinct_tools"
+        )
+        return with_salt(stored, cfg.num_buckets)
 
     def in_wave(wave):
         return F.col("bucket_id").isin([int(b) for b in wave])
@@ -513,7 +530,8 @@ def run_pipeline(
     def produce_1m(wave):
         sub = norm.filter(in_wave(wave)).drop("bucket_id")
         return with_salt(
-            rollup_encoded(sub, "1m", role_vocab, tool_vocab), cfg.num_buckets
+            rollup_encoded(sub, "1m", role_vocab, tool_vocab, decode_tools=False),
+            cfg.num_buckets,
         )
 
     def make_cascade(tier: str, parent: str):

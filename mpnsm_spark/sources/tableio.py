@@ -270,5 +270,11 @@ class TableIO:
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
 
+    def table_meta(self, table: str) -> dict:
+        """Meta dict of the latest committed snapshot ({} if none) — used for
+        table-level dictionaries (e.g. the tools bitmask vocabulary)."""
+        manifests = self._manifests(table)
+        return manifests[-1]["meta"] if manifests else {}
+
     def exists(self, table: str) -> bool:
         return self.snapshot_version(table) > 0

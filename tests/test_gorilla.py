@@ -99,3 +99,45 @@ def test_chunk_bounded_size(spark, transcripts):
     chunks = encode_tier_chunks(tier, "1m", points_per_chunk=64).toPandas()
     assert (chunks["n_points"] <= 64).all()
     assert chunks["n_points"].sum() == tier.count()
+
+
+def test_encode_frame_matches_per_group():
+    """The batch-vectorized _encode_frame must produce blobs BIT-IDENTICAL to
+    the per-group reference encoders for every (conv, chunk) segment."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.gorilla import _encode_frame
+
+    base = 1_735_689_600
+    rows = []
+    # mixed group sizes incl. singletons, chunk splits, huge dods, NaN values
+    specs = [("a", 1), ("b", 7), ("c", 1), ("d", 300), ("e", 2), ("f", 59)]
+    for conv, size in specs:
+        ts = base + np.cumsum(RNG.integers(1, 5000, size)).astype(np.int64)
+        vals = RNG.normal(50.0, 20.0, size)
+        vals[::9] = np.nan
+        for t, v in zip(ts, vals):
+            rows.append((conv, t, v))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_start", "_v"])
+    pdf["bucket_start"] = pd.to_datetime(pdf["bucket_start"], unit="s")
+    pdf = pdf.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+
+    span = 3600 * 64  # force some conversations to split into several chunks
+    out = _encode_frame(pdf, "1h", span)
+
+    ts_all = (
+        pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).to_numpy()
+    vals_all = pdf["_v"].to_numpy(np.float64)
+    convs = pdf["conv_id"].to_numpy()
+    cids = ts_all // span
+    changed = np.flatnonzero((convs[1:] != convs[:-1]) | (cids[1:] != cids[:-1])) + 1
+    segs_ts = np.split(ts_all, changed)
+    segs_v = np.split(vals_all, changed)
+    assert len(out) == len(segs_ts)
+    for i, (st, sv) in enumerate(zip(segs_ts, segs_v)):
+        assert out["ts_blob"].iloc[i] == encode_timestamps(st), f"chunk {i} ts"
+        assert out["value_blob"].iloc[i] == encode_values(sv), f"chunk {i} vals"
+        assert out["n_points"].iloc[i] == len(st)
+        got_ts = decode_timestamps(out["ts_blob"].iloc[i], len(st))
+        assert (got_ts == st).all()
