@@ -398,6 +398,9 @@ def encode_tier_chunks(
     span = TIER_SECONDS[tier] * points_per_chunk
 
     def encode_stream(batches):
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
         rest: pd.DataFrame | None = None
         for pdf in batches:
             if rest is not None and len(rest):
@@ -440,6 +443,9 @@ def decode_chunks(chunk_df: DataFrame) -> DataFrame:
     no shuffle, runs wherever the chunks are."""
 
     def expand(batches):
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
         for pdf in batches:
             frames = []
             for row in pdf.itertuples(index=False):

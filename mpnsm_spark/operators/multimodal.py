@@ -73,6 +73,9 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
         for pdf in batches:
             if strict:
                 raise NotImplementedError(
@@ -99,6 +102,9 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     expansion; frame payloads stubbed as digests of (payload, offset))."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
         for pdf in batches:
             out = {"media_id": [], "frame_ms": [], "frame_digest": []}
             vids = pdf[pdf["kind"] == "video"]

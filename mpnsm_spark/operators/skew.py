@@ -109,6 +109,9 @@ def apply_per_series(
     empty_cols = _schema_column_names(output_schema)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
         try:
             return fn(pdf.sort_values(order_col).reset_index(drop=True))
         except Exception:
