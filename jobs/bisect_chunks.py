@@ -64,6 +64,27 @@ def main() -> None:
     t("sort+python_noop", prepared.mapInPandas(passthrough, "n long"))
     t("full_encode", encode_tier_chunks(tier, "1m"))
     t("full_encode_again", encode_tier_chunks(tier, "1m"))
+
+    # Pipeline-context variants: the pipeline also CACHES the chunk rows and
+    # writes them to parquet (blobs) — bisect whether the write/cache path,
+    # not the encode, is what anti-scales at high core counts.
+    import shutil
+    import tempfile
+
+    def tp(name, df):
+        dst = tempfile.mkdtemp(prefix="bch_", dir="/dev/shm")
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(os.path.join(dst, "out"))
+        print(f"{name:<22} {time.time() - t0:7.1f}s", flush=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+    enc = encode_tier_chunks(tier, "1m")
+    tp("encode+parquet", enc)
+    w = max(spark.sparkContext.defaultParallelism, 16)
+    cached = enc.coalesce(w).cache()
+    tp("encode+cache+parquet", cached)
+    t("stats_over_cache", cached.groupBy("conv_id").count())
+    cached.unpersist()
     spark.stop()
 
 

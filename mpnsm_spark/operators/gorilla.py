@@ -381,6 +381,7 @@ def encode_tier_chunks(
     value_col: str = "value_avg",
     points_per_chunk: int = 4096,
     num_partitions: int | None = None,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Tier table → Gorilla chunk table via partition-wise Arrow streaming.
 
@@ -426,13 +427,18 @@ def encode_tier_chunks(
         if rest is not None and len(rest):
             yield _encode_frame(rest, tier, span)
 
-    prepared = (
-        tier_df.select("conv_id", "bucket_start", F.col(value_col).alias("_v"))
-        .repartition(
-            *( [num_partitions] if num_partitions else [] ), "conv_id"
-        )
-        .sortWithinPartitions("conv_id", "bucket_start")
+    prepared = tier_df.select(
+        "conv_id", "bucket_start", F.col(value_col).alias("_v")
     )
+    if not assume_clustered:
+        # Correctness needs all rows of one (conv, chunk) in ONE partition;
+        # callers whose input is already hash-partitioned by conv_id (e.g.
+        # the pipeline's cached tier tables) set assume_clustered=True and
+        # skip this exchange — the in-partition sort alone suffices.
+        prepared = prepared.repartition(
+            *([num_partitions] if num_partitions else []), "conv_id"
+        )
+    prepared = prepared.sortWithinPartitions("conv_id", "bucket_start")
     return prepared.mapInPandas(encode_stream, CHUNK_SCHEMA)
 
 

@@ -398,6 +398,7 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
+    spark.sparkContext.setJobDescription("mpnsm:plan")
     # Scale-critical split: the wide text column NEVER crosses a shuffle.
     # - raw_aug: salted raw rows incl. text — consumed only by map-only
     #   stages (retention write, map-side integrity hashes);
@@ -446,6 +447,9 @@ def run_pipeline(
         return F.count(F.lit(1))
 
     def run_stage(stage: str, produce) -> None:
+        # Label every job this stage submits (Spark UI / event-log / REST
+        # attribution on real clusters; local properties are per-thread).
+        spark.sparkContext.setJobDescription(f"mpnsm:{stage}")
         done = done_map.get(stage, set())
         remaining = sorted(all_buckets - done)
         with lock:
@@ -458,9 +462,14 @@ def run_pipeline(
             out = produce(wave).withColumn(
                 "_v", F.lit(io.snapshot_version(stage_table(stage)) + 1)
             )
-            if stage != "retention":
-                # retention output is the full raw text table — caching it
-                # would evict everything else for rows nothing re-reads
+            # Cache ONLY tier outputs: cascades/gap-fill/chunks re-read them.
+            # Leaf outputs (chunks_*, gapfill_*) are read by nothing but the
+            # post-write stats aggregation — caching them costs a columnar
+            # build of millions of rows (plus heap pressure) for one scan;
+            # stats read the just-written snapshot back instead (pruned).
+            # Retention output is the full raw text table — never cache.
+            is_tier = stage.startswith("tier_")
+            if is_tier:
                 out = out.cache()
                 with lock:
                     cached.append(out)
@@ -474,10 +483,20 @@ def run_pipeline(
                 stage_table(stage),
                 meta={"stage": stage, "buckets": wave, "tool_vocab": tool_vocab},
             )
-            # Per-bucket lineage in ONE job: stats over the cached output,
-            # left-joined to the wave's bucket ids so empty buckets still get
-            # their completion row.
-            stats = out.groupBy("bucket_id").agg(
+            # Per-bucket lineage in ONE job: stats over the cached output
+            # (tiers) or a pruned read-back of the snapshot just written
+            # (leaves), left-joined to the wave's bucket ids so empty buckets
+            # still get their completion row.
+            if is_tier or stage == "retention":
+                stats_src = out
+            else:
+                try:
+                    stats_src = io.read_snapshot(
+                        spark, stage_table(stage), version
+                    )
+                except FileNotFoundError:  # empty snapshot (no part files)
+                    stats_src = out
+            stats = stats_src.groupBy("bucket_id").agg(
                 F.count(F.lit(1)).alias("output_rows"),
                 stage_input_rows(stage).alias("input_rows"),
                 *(
@@ -511,20 +530,24 @@ def run_pipeline(
         with lock:
             stage_seconds[stage] = round(time.time() - t0, 3)
 
-    def tier_source(tier: str) -> DataFrame:
-        """Cached fresh output when this run produced all buckets, else
-        storage read with keep-last dedupe (resume path). Always the STORED
-        (mask-only) schema so every snapshot of a tier table is uniform."""
+    def tier_source(tier: str) -> tuple[DataFrame, bool]:
+        """(df, clustered): cached fresh output when this run produced all
+        buckets (hash-partitioned by conv_id end-to-end — the single
+        exchange), else storage read with keep-last dedupe (resume path,
+        NOT clustered). Always the STORED (mask-only) schema so every
+        snapshot of a tier table is uniform."""
         with lock:
             df = fresh_outputs.get(f"tier_{tier}")
         if df is not None:
-            return df.drop("_v")
+            return df.drop("_v"), True
         stored = _latest_snapshot(io.read(spark, f"tier_{tier}")).drop(
             "tools", "distinct_tools"
         )
-        return with_salt(stored, cfg.num_buckets)
+        return with_salt(stored, cfg.num_buckets), False
 
     def in_wave(wave):
+        if len(wave) == cfg.num_buckets:  # single-wave run: no-op predicate
+            return F.lit(True)
         return F.col("bucket_id").isin([int(b) for b in wave])
 
     def produce_1m(wave):
@@ -536,7 +559,8 @@ def run_pipeline(
 
     def make_cascade(tier: str, parent: str):
         def produce(wave):
-            src = tier_source(parent).filter(in_wave(wave)).drop("bucket_id")
+            src, _ = tier_source(parent)
+            src = src.filter(in_wave(wave)).drop("bucket_id")
             return with_salt(cascade(src, tier, tool_vocab), cfg.num_buckets)
 
         return produce
@@ -544,16 +568,23 @@ def run_pipeline(
     def make_gapfill(tier: str):
         def produce(wave):
             # anchored fast path: tier value_avg is never null (turn_count>=1)
-            src = tier_source(tier).filter(in_wave(wave)).drop("bucket_id")
+            src, _ = tier_source(tier)
+            src = src.filter(in_wave(wave)).drop("bucket_id")
             return with_salt(gapfill_anchored(src, tier), cfg.num_buckets)
 
         return produce
 
     def make_chunks(tier: str):
         def produce(wave):
-            src = tier_source(tier).filter(in_wave(wave)).drop("bucket_id")
+            src, clustered = tier_source(tier)
+            src = src.filter(in_wave(wave)).drop("bucket_id")
             out = encode_tier_chunks(
-                src, tier, points_per_chunk=cfg.points_per_chunk
+                src,
+                tier,
+                points_per_chunk=cfg.points_per_chunk,
+                # fresh tier caches are hash-partitioned by conv_id already —
+                # the encode's repartition would be a redundant full exchange
+                assume_clustered=clustered,
             )
             return with_salt(out, cfg.num_buckets)
 
@@ -580,6 +611,7 @@ def run_pipeline(
         """
         import datetime as _dt
 
+        spark.sparkContext.setJobDescription("mpnsm:retention")
         done = done_map.get("retention", set())
         if -1 in done or done >= all_buckets:
             with lock:
@@ -699,8 +731,12 @@ def run_pipeline(
         lineage row, and these 1-file writes otherwise add a serial barrier
         per stage. The end-of-run wait() drains them before the summary reads
         the lineage table."""
+        def labelled():
+            spark.sparkContext.setJobDescription("mpnsm:lineage")
+            fn()
+
         with lock:
-            futs.append(ex.submit(guarded, fn))
+            futs.append(ex.submit(guarded, labelled))
 
     # --- stage DAG -----------------------------------------------------------
     # tier_1m is the root: everything depends on it, run it inline in the main

@@ -210,6 +210,27 @@ class TableIO:
             reader = reader.option("basePath", ddir)
         return reader.parquet(*[os.path.join(ddir, f) for f in files])
 
+    def read_snapshot(self, spark: SparkSession, table: str, version: int) -> DataFrame:
+        """Read exactly ONE committed snapshot's files (Iceberg analog:
+        ``VERSION AS OF``). Used for post-write stats: a column-pruned scan
+        of the files just written is cheaper than caching the whole stage
+        output for a single aggregation."""
+        if self.iceberg:
+            return (
+                spark.read.option("versionAsOf", version)
+                .table(f"{self.catalog_prefix}{table}")
+            )
+        p = os.path.join(self._mdir(table), f"v{version}.json")
+        with open(p) as fh:
+            m = json.load(fh)
+        ddir = self._ddir(table)
+        files = [
+            f if os.path.isabs(f) else os.path.join(ddir, f) for f in m["files"]
+        ]
+        if not files:
+            raise FileNotFoundError(f"table {table} snapshot v{version} is empty")
+        return spark.read.parquet(*files)
+
     def partitions(self, table: str) -> list[str]:
         """Hive partition ids (e.g. ``role=tool``) across committed snapshots."""
         parts = {
