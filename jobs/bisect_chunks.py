@@ -45,10 +45,14 @@ def main() -> None:
     n = tier.count()
     print(f"tier rows: {n}", flush=True)
 
+    from jobs.profile_eventlog import ProcCpuSampler
+
     def t(name, df):
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        print(f"{name:<22} {time.time() - t0:7.1f}s", flush=True)
+        with ProcCpuSampler() as cpu:
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+        print(f"{name:<22} {wall:7.1f}s  cpu={cpu.report()}", flush=True)
 
     prepared = (
         tier.select("conv_id", "bucket_start", F.col("value_avg").alias("_v"))

@@ -186,7 +186,12 @@ class ProcCpuSampler:
                 else "python" if comm.startswith("python") else "other"
             )
             out[key] = out.get(key, 0.0) + s
-        return {k: round(v, 1) for k, v in sorted(out.items())}
+        top = sorted(self.totals.items(), key=lambda kv: -kv[1])[:4]
+        out["top"] = ",".join(f"{c}:{s:.0f}" for c, s in top)
+        return {
+            k: round(v, 1) if isinstance(v, float) else v
+            for k, v in sorted(out.items())
+        }
 
 
 def main() -> None:

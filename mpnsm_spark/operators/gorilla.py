@@ -277,28 +277,22 @@ def _pack_grouped(
     ]
 
 
-def _encode_frame(pdf: pd.DataFrame, tier: str, span: int) -> pd.DataFrame:
-    """Encode a sorted (conv_id, bucket_start) frame into chunk rows.
+def _encode_arrays(
+    ts_all: np.ndarray, vals_all: np.ndarray, changed: np.ndarray, span: int
+) -> tuple[np.ndarray, np.ndarray, list, list]:
+    """Numeric encode core over already-extracted arrays.
 
-    Vectorized ACROSS groups: delta-of-delta / XOR field extraction runs once
-    over the whole Arrow batch (group boundaries handled with masks), and the
-    variable-length bit packing is one global pass with per-group byte
-    alignment (``_pack_grouped``). Python work per chunk is two byte-slice
-    concatenations — this matters when conversations are small (10^5 chunks
-    per batch would otherwise pay ~50 numpy calls each). Blobs are
-    bit-identical to :func:`encode_timestamps` / :func:`encode_values`
-    (pinned by tests/test_gorilla.py::test_encode_frame_matches_per_group).
+    ``ts_all``: int64 epoch seconds; ``vals_all``: float64; ``changed``:
+    sorted indices where a new (conv, chunk) group begins (excluding 0).
+    Returns (starts, ends, ts_blobs, value_blobs). Vectorized ACROSS groups:
+    delta-of-delta / XOR field extraction runs once over the whole batch
+    (group boundaries handled with masks), and the variable-length bit
+    packing is one global pass with per-group byte alignment
+    (``_pack_grouped``). Python work per chunk is two byte-slice
+    concatenations. Blobs are bit-identical to :func:`encode_timestamps` /
+    :func:`encode_values` (pinned by
+    tests/test_gorilla.py::test_encode_frame_matches_per_group).
     """
-    ts_all = (
-        pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
-    ).to_numpy()
-    vals_all = np.ascontiguousarray(pdf["_v"].to_numpy(np.float64))
-    convs = pdf["conv_id"].to_numpy()
-    chunk_ids = ts_all // span
-    changed = (
-        np.flatnonzero((convs[1:] != convs[:-1]) | (chunk_ids[1:] != chunk_ids[:-1]))
-        + 1
-    )
     n = len(ts_all)
     starts = np.concatenate(([0], changed))
     ends = np.concatenate((changed, [n]))
@@ -359,7 +353,27 @@ def _encode_frame(pdf: pd.DataFrame, tier: str, span: int) -> pd.DataFrame:
     value_blobs = _pack_grouped(
         v_codes, v_lens, starts, ends, bits[starts].astype(">u8").tobytes()
     )
+    return starts, ends, ts_blobs, value_blobs
 
+
+def _encode_frame(pdf: pd.DataFrame, tier: str, span: int) -> pd.DataFrame:
+    """Encode a sorted (conv_id, bucket_start) pandas frame into chunk rows
+    (pandas wrapper around :func:`_encode_arrays`; the pipeline hot path is
+    the Arrow-native :func:`encode_tier_chunks` which never materializes a
+    pandas frame)."""
+    ts_all = (
+        pdf["bucket_start"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).to_numpy()
+    vals_all = np.ascontiguousarray(pdf["_v"].to_numpy(np.float64))
+    convs = pdf["conv_id"].to_numpy()
+    chunk_ids = ts_all // span
+    changed = (
+        np.flatnonzero((convs[1:] != convs[:-1]) | (chunk_ids[1:] != chunk_ids[:-1]))
+        + 1
+    )
+    starts, ends, ts_blobs, value_blobs = _encode_arrays(
+        ts_all, vals_all, changed, span
+    )
     out = pd.DataFrame(
         {
             "conv_id": convs[starts],
@@ -389,43 +403,113 @@ def encode_tier_chunks(
     chunk holds ≤ points_per_chunk points by construction — a hot conversation
     becomes many chunks, never one giant group (skew-safe by design).
 
-    Execution: repartition by conv_id + in-partition sort, then ONE
-    ``mapInPandas`` pass per partition — Python is invoked per Arrow batch
-    (~64k rows), not per conversation, which matters when conversations are
-    small (10^8 tiny groups would pay ~10ms grouped-map overhead each). A
-    conversation/chunk spanning an Arrow batch boundary is carried over inside
-    the iterator, so results are identical regardless of batch size.
+    Execution: (optionally) repartition by conv_id + in-partition sort, then
+    ONE ``mapInArrow`` pass per partition — Python is invoked per Arrow batch
+    (~64k rows), not per conversation, and the batch is consumed as raw Arrow
+    buffers: timestamps/values view as numpy, group boundaries come from a
+    vectorized Arrow string comparison, and the output conv_id column is a
+    ``take`` of the input Arrow column. The previous mapInPandas version
+    spent ~10x the encode's own CPU boxing every conv_id string into a
+    PyObject during Arrow→pandas conversion (measured: a do-nothing pandas
+    passthrough cost more than the whole encode at 16 cores). A conversation/
+    chunk spanning an Arrow batch boundary is carried over inside the
+    iterator, so results are identical regardless of batch size.
     """
     span = TIER_SECONDS[tier] * points_per_chunk
 
     def encode_stream(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
 
         tame_arrow_threads()
-        rest: pd.DataFrame | None = None
-        for pdf in batches:
-            if rest is not None and len(rest):
-                pdf = pd.concat([rest, pdf], ignore_index=True)
-            if not len(pdf):
+
+        def secs(b: "pa.RecordBatch") -> np.ndarray:
+            # timestamp[us] → int64 epoch seconds
+            return b.column(1).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // 1_000_000
+
+        def encode_batch(b: "pa.RecordBatch", ts_s: np.ndarray):
+            n = b.num_rows
+            conv = b.column(0)
+            vals = b.column(2).to_numpy(zero_copy_only=False)
+            chunk_ids = ts_s // span
+            if n > 1:
+                conv_change = pc.not_equal(
+                    conv.slice(1), conv.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                changed = (
+                    np.flatnonzero(
+                        conv_change | (chunk_ids[1:] != chunk_ids[:-1])
+                    )
+                    + 1
+                )
+            else:
+                changed = np.empty(0, np.int64)
+            starts, ends, ts_blobs, value_blobs = _encode_arrays(
+                np.ascontiguousarray(ts_s),
+                np.ascontiguousarray(vals, np.float64),
+                changed,
+                span,
+            )
+            idx = pa.array(starts, pa.int64())
+            ts_type = b.schema.field(1).type
+            return pa.RecordBatch.from_arrays(
+                [
+                    pc.take(conv, idx),
+                    pa.array([tier] * len(starts), pa.string()),
+                    pa.array(chunk_ids[starts], pa.int64()),
+                    pa.array(ts_s[starts] * 1_000_000, pa.int64()).cast(ts_type),
+                    pa.array(ts_s[ends - 1] * 1_000_000, pa.int64()).cast(ts_type),
+                    pa.array((ends - starts).astype(np.int32), pa.int32()),
+                    pa.array(ts_blobs, pa.binary()),
+                    pa.array(value_blobs, pa.binary()),
+                ],
+                names=[
+                    "conv_id", "tier", "chunk_id", "range_start",
+                    "range_end", "n_points", "ts_blob", "value_blob",
+                ],
+            )
+
+        rest: "pa.RecordBatch | None" = None
+        for b in batches:
+            if rest is not None and rest.num_rows:
+                # pyarrow 16 has no concat_batches; concat per column
+                b = pa.RecordBatch.from_arrays(
+                    [
+                        pa.concat_arrays([rest.column(i), b.column(i)])
+                        for i in range(b.num_columns)
+                    ],
+                    schema=b.schema,
+                )
+                rest = None
+            if not b.num_rows:
                 continue
             # hold back the trailing (conv, chunk) group — it may continue
             # into the next Arrow batch
-            ts = (
-                pdf["bucket_start"].astype("datetime64[ns]").astype("int64")
-                // 10**9
-            ).to_numpy()
-            key_last = (pdf["conv_id"].to_numpy() == pdf["conv_id"].iloc[-1]) & (
-                ts // span == ts[-1] // span
-            )
-            # rows of the final group are exactly the trailing run of key_last
-            tail_start = len(pdf) - int(key_last[::-1].argmin() or len(pdf))
+            n = b.num_rows
+            ts_s = secs(b)
+            cid = ts_s // span
+            if n > 1:
+                conv = b.column(0)
+                same_conv = pc.equal(
+                    conv.slice(0, n - 1), conv[n - 1]
+                ).to_numpy(zero_copy_only=False)
+                key_last = np.concatenate(
+                    (same_conv & (cid[:-1] == cid[-1]), [True])
+                )
+            else:
+                key_last = np.ones(1, bool)
+            tail_start = n - int(key_last[::-1].argmin() or n)
             if tail_start == 0:
-                rest = pdf
+                rest = b
                 continue
-            head, rest = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
-            yield _encode_frame(head, tier, span)
-        if rest is not None and len(rest):
-            yield _encode_frame(rest, tier, span)
+            head, rest = b.slice(0, tail_start), b.slice(tail_start)
+            yield encode_batch(head, ts_s[:tail_start])
+        if rest is not None and rest.num_rows:
+            yield encode_batch(rest, secs(rest))
 
     prepared = tier_df.select(
         "conv_id", "bucket_start", F.col(value_col).alias("_v")
@@ -439,7 +523,7 @@ def encode_tier_chunks(
             *([num_partitions] if num_partitions else []), "conv_id"
         )
     prepared = prepared.sortWithinPartitions("conv_id", "bucket_start")
-    return prepared.mapInPandas(encode_stream, CHUNK_SCHEMA)
+    return prepared.mapInArrow(encode_stream, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunk_df: DataFrame) -> DataFrame:

@@ -207,6 +207,27 @@ def _burn_fixed(work: int) -> int:
     return 0
 
 
+def capacity_quick(n: int, work: int = 600_000) -> float:
+    """~2-3s fixed-work capacity sample at n pinned processes (hashes/sec).
+    Used to CERTIFY a measurement window: on a real cluster 4x executors is
+    4x capacity by construction; on this shared microVM the host sometimes
+    runs multi-minute half-speed regimes where even embarrassingly parallel
+    fixed work gets <3x from 4x cores — an engine measured there is gated by
+    the box, not its own scaling. Pairs are only accepted when the quick
+    probe shows the box currently delivering near-linear CPU capacity."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    cpus = set(range(min(n, os.cpu_count() or n)))
+    with ctx.Pool(
+        len(cpus), initializer=os.sched_setaffinity, initargs=(0, cpus)
+    ) as p:
+        t0 = time.time()
+        p.map(_burn_fixed, [work] * n)
+        wall = time.time() - t0
+    return n * work / wall
+
+
 def cpu_capacity(n: int, work: int = 2_000_000, reps: int = 3) -> float:
     """Machine CPU capacity at n concurrent processes: FIXED work per process,
     wall-clock measured, best-of-reps, steal-gated. (The earlier time-boxed
@@ -239,6 +260,12 @@ def main() -> None:
                     help="re-measure a rep whose steal_avg_pct exceeds this")
     ap.add_argument("--no-pin", dest="pin", action="store_false",
                     help="don't taskset-pin children to N CPUs")
+    ap.add_argument("--cert-frac", type=float, default=0.85,
+                    help="accept a pair window only when the quick capacity "
+                         "probe shows >= this fraction of linear lo->hi "
+                         "scaling (cluster-equivalent regime)")
+    ap.add_argument("--cert-attempts", type=int, default=10,
+                    help="max probe attempts per pair before measuring anyway")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--bronze")
     ap.add_argument("--child-cores", type=int)
@@ -302,14 +329,43 @@ def main() -> None:
                 if r["steal_avg_pct"] <= args.max_steal or attempts >= 3:
                     return r
 
+        core_ratio_req = args.cores[1] / args.cores[0]
+
+        def certify_window() -> tuple[bool, float]:
+            """Accept a pair slot only when the box is currently delivering
+            near-linear CPU capacity from lo→hi cores (see capacity_quick)."""
+            lo_cap = capacity_quick(args.cores[0])
+            hi_cap = capacity_quick(args.cores[1])
+            ratio = hi_cap / lo_cap
+            return ratio >= args.cert_frac * core_ratio_req, round(ratio, 3)
+
         pairs = []
         for rep in range(args.repeats):
+            cert, cap_ratio = False, 0.0
+            for attempt in range(args.cert_attempts):
+                wait_quiet()
+                cert, cap_ratio = certify_window()
+                print(
+                    f"pair {rep} window probe: capacity_ratio={cap_ratio} "
+                    f"certified={cert}", flush=True,
+                )
+                if cert:
+                    break
+                time.sleep(15)
             lo_r = run_child(args.cores[0], f"p{rep}")
             hi_r = run_child(args.cores[1], f"p{rep}")
             eff = (
                 hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
-            ) / (args.cores[1] / args.cores[0])
-            pairs.append({"lo": lo_r, "hi": hi_r, "efficiency": round(eff, 3)})
+            ) / core_ratio_req
+            pairs.append(
+                {
+                    "lo": lo_r,
+                    "hi": hi_r,
+                    "efficiency": round(eff, 3),
+                    "window_capacity_ratio": cap_ratio,
+                    "window_certified": cert,
+                }
+            )
             print(f"pair {rep}: efficiency={eff:.3f}", flush=True)
 
         best_lo = min((p["lo"] for p in pairs), key=lambda r: r["wall_seconds"])
@@ -328,8 +384,13 @@ def main() -> None:
 
         lo, hi = results
         core_ratio = hi["cores"] / lo["cores"]
-        pair_effs = sorted(p["efficiency"] for p in pairs)
-        efficiency = pair_effs[len(pair_effs) // 2]  # median adjacent pair
+        # Headline = median efficiency over CERTIFIED pairs (windows where the
+        # box demonstrably had near-linear capacity — the cluster-equivalent
+        # regime); falls back to all pairs when none certified.
+        cert_pairs = [p for p in pairs if p["window_certified"]] or pairs
+        pair_effs = sorted(p["efficiency"] for p in cert_pairs)
+        all_effs = sorted(p["efficiency"] for p in pairs)
+        efficiency = pair_effs[len(pair_effs) // 2]  # median certified pair
         best_ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
         report = {
             "input_turns": lo["input_turns"],
@@ -339,6 +400,8 @@ def main() -> None:
                     "lo_wall": p["lo"]["wall_seconds"],
                     "hi_wall": p["hi"]["wall_seconds"],
                     "efficiency": p["efficiency"],
+                    "window_capacity_ratio": p["window_capacity_ratio"],
+                    "window_certified": p["window_certified"],
                 }
                 for p in pairs
             ],
@@ -346,7 +409,9 @@ def main() -> None:
             "speedup_best": round(best_ratio, 3),
             "core_ratio": core_ratio,
             "scaling_efficiency": round(efficiency, 3),
-            "pair_efficiencies": pair_effs,
+            "pair_efficiencies": all_effs,
+            "certified_pair_efficiencies": pair_effs,
+            "certified_pairs": len([p for p in pairs if p["window_certified"]]),
             "hw_capacity_ratio": round(hw_ratio, 3),
             "hw_ceiling_efficiency": round(hw_ratio / core_ratio, 3),
             "membw_gbps": {str(lo["cores"]): bw_lo, str(hi["cores"]): bw_hi},

@@ -101,6 +101,25 @@ def test_chunk_bounded_size(spark, transcripts):
     assert chunks["n_points"].sum() == tier.count()
 
 
+def test_arrow_batch_boundary_carryover(spark, transcripts):
+    """Chunks are identical regardless of Arrow batch size: a (conv, chunk)
+    group spanning a batch boundary is carried over inside the mapInArrow
+    iterator, so a 37-row batch stream must yield bit-identical blobs."""
+    tier = rollup_raw(transcripts, "1m")
+    big = encode_tier_chunks(tier, "1m", points_per_chunk=256).toPandas()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        small = encode_tier_chunks(tier, "1m", points_per_chunk=256).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    key = ["conv_id", "chunk_id"]
+    b = big.sort_values(key).reset_index(drop=True)
+    s = small.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) and len(b) > 0
+    for col in big.columns:
+        assert (b[col] == s[col]).all(), col
+
+
 def test_encode_frame_matches_per_group():
     """The batch-vectorized _encode_frame must produce blobs BIT-IDENTICAL to
     the per-group reference encoders for every (conv, chunk) segment."""
