@@ -104,7 +104,8 @@ def main() -> None:
             wait_quiet(max_wait_s=300)
             out = os.path.join(tmp, f"c{cores}.json")
             subprocess.run(
-                [sys.executable, __file__, "--child", "--bronze", bronze,
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, __file__, "--child", "--bronze", bronze,
                  "--child-cores", str(cores), "--out", out],
                 check=True, cwd=REPO,
             )

