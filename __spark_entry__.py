@@ -1275,11 +1275,19 @@ FROM walk WHERE step >= 1
 def _sql_minhash(num_hashes: int = 32, bands: int = 8, ngram: int = 3,
                  threshold: float = 0.5) -> str:
     """DuckDB twin of minhash_lsh_pairs(hash_strategy='md5'): identical
-    shingling, signatures (lexicographic min of salted md5), banding,
-    candidate join and exact-Jaccard verify."""
+    shingling, per-shingle 32-bit md5-derived hashes, (a_j*h+b_j) mod P
+    permutation minima, banding, candidate join and exact-Jaccard verify.
+    All arithmetic stays below 2^38 so BIGINT semantics match Spark longs."""
+    from mpnsm_spark.operators.dedup import MINHASH_P, _perm_a, _perm_b
+
     r = num_hashes // bands
+    # first 8 hex chars of md5 -> int, nibble by nibble (no conv() in DuckDB)
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(d, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
     sig_elems = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+        f"list_min(list_transform(hs, h -> (h * {_perm_a(j)} + {_perm_b(j)}) % {MINHASH_P}))"
         for j in range(num_hashes)
     )
     return f"""
@@ -1293,8 +1301,13 @@ WITH norm AS (
            generate_series(1, greatest(len(w) - {ngram - 1}, 1)),
            i -> array_to_string(list_slice(w, i, i + {ngram - 1}), ' ')))) AS shingles
   FROM toks
+), shash AS (
+  SELECT _id, shingles,
+         list_transform(list_transform(shingles, s -> substr(md5(s), 1, 8)),
+                        d -> {nib}) AS hs
+  FROM sh
 ), sigs AS (
-  SELECT _id, shingles, [{sig_elems}] AS sig FROM sh
+  SELECT _id, shingles, [{sig_elems}] AS sig FROM shash
 ), banded AS (
   SELECT _id, unnest(generate_series(0, {bands - 1})) AS band_id, sig FROM sigs
 ), bh AS (

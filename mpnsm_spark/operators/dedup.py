@@ -61,8 +61,35 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 # -------------------------------------------------------------------- MinHash
 
 
+# Largest prime below 2^32 — modulus of the k-permutation family. With
+# 32-bit base hashes and multipliers < 2^6, products stay < 2^38: no
+# overflow in Spark longs OR DuckDB BIGINTs (which would error, not wrap).
+MINHASH_P = 4294967291
+
+
+def _perm_a(j: int) -> int:
+    return 2 * j + 1
+
+
+def _perm_b(j: int) -> int:
+    return (j * 1000003) % MINHASH_P
+
+
+def shingle_hashes_md5(shingles: Column) -> Column:
+    """Each shingle hashed ONCE to a 32-bit int: first 8 hex chars of its
+    md5, parsed base-16. Cross-engine reproducible (DuckDB parses the same
+    nibbles) and 1 md5 per shingle instead of num_hashes md5s."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def minhash_signature(
-    shingles: Column, num_hashes: int = 32, hash_strategy: str = "xxhash64"
+    shingles: Column,
+    num_hashes: int = 32,
+    hash_strategy: str = "xxhash64",
+    hashed: bool = False,
 ) -> Column:
     """k-permutation MinHash signature — no explode: each hash function is an
     array_min over JVM-evaluated hashes of each shingle.
@@ -70,20 +97,46 @@ def minhash_signature(
     ``hash_strategy``:
 
     - ``"xxhash64"`` (default, fastest): array<long>, seeded xxhash64.
-    - ``"md5"``: array<string>, lexicographic min of ``md5("<j>|" + shingle)``
-      hex digests. ~2× slower but *cross-engine reproducible* — DuckDB/any
-      ANSI engine computes the identical signature, so the whole LSH pipeline
-      is oracle-checkable bit-for-bit.
+    - ``"md5"``: array<long>, min of ``(a_j*h + b_j) mod P`` over per-shingle
+      32-bit md5-derived hashes ``h`` (see :func:`shingle_hashes_md5`).
+      Cross-engine reproducible — DuckDB/any ANSI engine computes the
+      identical signature, so the whole LSH pipeline is oracle-checkable
+      bit-for-bit — at ONE md5 per shingle (an earlier lexicographic
+      min-of-md5("<j>|"+s) variant cost num_hashes md5s per shingle and
+      benched 25-50x slower end to end). Pass ``hashed=True`` when
+      ``shingles`` is already the materialized int array.
     """
+    # One transform lambda emits ALL hash lanes per shingle, then one
+    # aggregate+zip_with folds the element-wise minimum. NOT num_hashes
+    # separate transform(...) lambdas: pyspark's python-lambda variables
+    # collide when the same HOF pattern repeats inside one expression
+    # (measured: every array slot evaluated the FIRST closure, silently
+    # degenerating all 32 signature lanes to the same permutation).
     if hash_strategy == "md5":
-        mk = lambda s, j: F.md5(F.concat(F.lit(f"{j}|"), s))  # noqa: E731
+        hs = shingles if hashed else shingle_hashes_md5(shingles)
+        mat = F.transform(
+            hs,
+            lambda h: F.array(
+                *[
+                    F.pmod(
+                        h * F.lit(_perm_a(j)) + F.lit(_perm_b(j)),
+                        F.lit(MINHASH_P),
+                    )
+                    for j in range(num_hashes)
+                ]
+            ),
+        )
+        top = F.lit(MINHASH_P).cast("long")
     else:
-        mk = lambda s, j: F.xxhash64(s, F.lit(j))  # noqa: E731
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: mk(s, j)))
-            for j in range(num_hashes)
-        ]
+        mat = F.transform(
+            shingles,
+            lambda s: F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]),
+        )
+        top = F.lit(2**63 - 1).cast("long")
+    return F.aggregate(
+        mat,
+        F.array_repeat(top, num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
 
 
@@ -108,12 +161,32 @@ def minhash_lsh_pairs(
     corpus content is shuffled at candidate volume, not ×bands×candidates.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            word_ngrams(F.col(text_col), ngram), num_hashes, hash_strategy
-        ).alias("sig"),
-    )
+    if hash_strategy == "md5":
+        # Hash every shingle once, then a materialization barrier: without
+        # it CollapseProject inlines the per-shingle md5 tree into all
+        # num_hashes permutation expressions (and the banded self-join
+        # evaluates it again on both sides) — measured 25-50x wall blowup.
+        # After the exchange the permutations scan a materialized int array.
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes_md5(word_ngrams(F.col(text_col), ngram)).alias("_hs"),
+        ).repartition("_id")
+        sig = base.select(
+            "_id",
+            minhash_signature(
+                F.col("_hs"), num_hashes, hash_strategy, hashed=True
+            ).alias("sig"),
+        )
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(
+                word_ngrams(F.col(text_col), ngram), num_hashes, hash_strategy
+            ).alias("sig"),
+        )
+    # Second barrier: the signature projection would otherwise re-run on both
+    # sides of the banded self-join; ReuseExchange shares one computation.
+    sig = sig.repartition("_id")
 
     def _band_hash(b):
         joined = F.concat_ws(

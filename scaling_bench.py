@@ -352,8 +352,12 @@ def main() -> None:
                 if cert:
                     break
                 time.sleep(15)
-            lo_r = run_child(args.cores[0], f"p{rep}")
+            # HI first, immediately after certification: wide runs are the
+            # regime-vulnerable side (narrow runs measured reproducible to
+            # <0.1% across pairs while 16c swung 1.5x), and the certified
+            # window is freshest right after the probe.
             hi_r = run_child(args.cores[1], f"p{rep}")
+            lo_r = run_child(args.cores[0], f"p{rep}")
             eff = (
                 hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
             ) / core_ratio_req
