@@ -920,12 +920,15 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke: synth media → Arrow feature extraction
-    (rows-only: decode is stubbed deterministically in this container).
+    """Multimodal plumbing: synth media → Arrow feature extraction.
 
-    The feature vector is emitted as a fixed-format string so the driver's
-    canonicalizer (pandas sort_values over every column) can hash the row —
-    raw array<double> columns are unhashable driver-side.
+    The decode stub is SQL-replayable: feature[i] = byte i of
+    sha256(hex(payload)) / 255 (multimodal._fake_decode), so the DuckDB
+    oracle reconstructs the synthetic table and the full feature vector
+    exactly — a real value oracle despite the stubbed decoder. The feature
+    vector is emitted as a fixed-format string so the driver's canonicalizer
+    (pandas sort_values over every column) can hash the row — raw
+    array<double> columns are unhashable driver-side.
     """
     from mpnsm_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -937,6 +940,31 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("features", lambda x: F.format_string("%.6f", x))
         ).alias("features_csv"),
     )
+
+
+# Exact replay of synthesize_media(n=200, seed=42) + the digest-derived
+# feature stub: payload = sha256('42:i') bytes ×4; feature[j] = byte j of
+# sha256(hex(payload)) / 255 — DuckDB's sha256 is VARCHAR-only, so both
+# sides hash the lowercase-hex encoding. Verified bitwise vs the Python
+# kernel for all 200 rows.
+SQL_MEDIA_FEATURES = """
+WITH base AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(concat('42:', CAST(i AS VARCHAR))) AS h
+  FROM range(0, 200) t(i)
+), payloads AS (
+  SELECT media_id, kind, sha256(repeat(h, 4)) AS fh FROM base
+)
+SELECT media_id, kind,
+  array_to_string(
+    list_transform(range(0, 16), i ->
+      printf('%.6f',
+        (16 * (strpos('0123456789abcdef', substr(fh, CAST(2*i+1 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef', substr(fh, CAST(2*i+2 AS INT), 1)) - 1)) / 255.0)),
+    ',') AS features_csv
+FROM payloads
+"""
 
 
 # ------------------------------------------------------- round-2 parity queries
@@ -1009,10 +1037,10 @@ def q_fourier_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FOURIER = """
 SELECT event_id,
-       round(sin(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS sin_1,
-       round(cos(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS cos_1,
-       round(sin(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS sin_2,
-       round(cos(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) AS cos_2
+       round(sin(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) + 0.0 AS sin_1,
+       round(cos(2 * pi() * 1 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) + 0.0 AS cos_1,
+       round(sin(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) + 0.0 AS sin_2,
+       round(cos(2 * pi() * 2 * CAST(floor(epoch(ts)) AS DOUBLE) / 86400.0), 6) + 0.0 AS cos_2
 FROM events
 """
 
@@ -1543,9 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _sql_minhash(),
         "simhash_buckets": _sql_simhash(),
         "ivf_topk": SQL_IVF_TOPK,
-        # media_features: intentionally no oracle — the decode kernel is a
-        # container stub (no PIL/ffmpeg); the driver records the rows-only
-        # check for it.
+        "media_features": SQL_MEDIA_FEATURES,
         "rolling_median": SQL_ROLLING_MEDIAN,
         "rolling_caps": SQL_ROLLING_CAPS,
         "fourier_terms": SQL_FOURIER,

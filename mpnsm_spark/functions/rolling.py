@@ -89,6 +89,9 @@ def fourier_terms(
         angle = F.lit(2.0 * math.pi * k) * t / F.lit(float(period_seconds))
         s, c = F.sin(angle), F.cos(angle)
         if round_dp is not None:
-            s, c = F.round(s, round_dp), F.round(c, round_dp)
+            # `+ 0.0` canonicalizes IEEE signed zero (-0.0 -> +0.0) so the
+            # bit pattern matches engines whose round() preserves -0.0.
+            s = F.round(s, round_dp) + F.lit(0.0)
+            c = F.round(c, round_dp) + F.lit(0.0)
         out = out.withColumn(f"sin_{k}", s).withColumn(f"cos_{k}", c)
     return out

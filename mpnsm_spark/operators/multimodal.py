@@ -58,10 +58,16 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: pseudo-pixels from the
-    payload digest (same payload → same 'decoded' array)."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
-    return np.random.default_rng(seed).random(out_len)
+    """Deterministic stand-in for a real decoder.
+
+    Feature ``i`` is byte ``i`` of ``sha256(hex(payload))`` scaled to [0, 1].
+    Hashing the lowercase-hex encoding (not the raw bytes) keeps the stub a
+    pure, injective function of the payload that ANSI-SQL engines can replay
+    (DuckDB's ``sha256`` accepts VARCHAR only), so the driver gets an exact
+    value oracle instead of a rows-only check."""
+    d = hashlib.sha256(payload.hex().encode("ascii")).digest()
+    assert out_len <= len(d)
+    return np.frombuffer(d[:out_len], dtype=np.uint8).astype(np.float64) / 255.0
 
 
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
