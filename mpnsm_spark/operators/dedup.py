@@ -317,19 +317,21 @@ def simhash_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_bits: int = 16,
-    hash_strategy: str = "md5",
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Docs bucketed by the top ``prefix_bits`` of their SimHash — near-dup
     blocking key (hamming-close docs usually share the prefix).
 
-    ``hash_strategy="md5"`` (default): per-token md5 hashes folded in an
-    Arrow-batched kernel — one pandas pass per batch instead of a 64-lane JVM
-    expression tree (which costs ~15s of codegen/plan overhead per job), and
-    cross-engine reproducible so the bucketing is oracle-checkable. Output
-    signature/bucket are hex strings.
+    ``hash_strategy="xxhash64"`` (default, production path): pure-JVM
+    expression variant — no Python stage anywhere in the plan, whole-stage
+    codegen end to end, the right default at 100 TB. Its ~15s of one-time
+    driver codegen/plan overhead (64-lane expression tree) is fixed cost,
+    amortized to nothing on a real corpus. Signature/bucket are longs.
 
-    ``hash_strategy="xxhash64"``: pure-JVM expression variant (no Python in
-    the plan); signature/bucket are longs.
+    ``hash_strategy="md5"``: per-token md5 hashes folded in an Arrow-batched
+    kernel — cross-engine reproducible, so it is the oracle twin the DuckDB
+    correctness gate replays (and the faster choice for tiny local jobs where
+    plan overhead dominates). Output signature/bucket are hex strings.
     """
     if hash_strategy == "xxhash64":
         sig = simhash64(F.col(text_col))

@@ -118,6 +118,11 @@ def gapfill_anchored(
     ``turn_count >= 1``), i.e. every row is an interpolation anchor and gaps
     exist only strictly *between* consecutive anchors.
 
+    Input contract: ``value_col`` must be non-null on every row (a null anchor
+    silently propagates null fills instead of interpolating — use the generic
+    :func:`gapfill` for nullable inputs). Duplicate (conv_id, bucket_start)
+    rows are tolerated: each duplicate emits itself as a no-gap row.
+
     That invariant collapses the generic plan (extent agg + grid explode +
     grid⋈values join + TWO ordered window passes) into ONE ``lead()`` window
     and an ``explode(sequence(...))`` projection: no join, no second sort, and
@@ -139,8 +144,12 @@ def gapfill_anchored(
     # Each anchor expands to itself + the strictly-between gap buckets of its
     # forward interval; the last anchor (no lead) emits only itself, so the
     # union over anchors is exactly the dense [min, max] grid.
+    # The `_nb > bucket_start` guard (not just isNotNull) makes duplicate
+    # (conv_id, bucket_start) anchors — e.g. an un-deduped multi-snapshot tier
+    # read — emit only themselves instead of crashing F.sequence with a
+    # backward boundary; duplicates pass through like the generic gapfill.
     seq = F.when(
-        F.col("_nb").isNotNull(),
+        F.col("_nb") > F.col("bucket_start"),
         F.sequence(
             F.col("bucket_start"),
             F.expr(f"_nb - INTERVAL {step} SECOND"),

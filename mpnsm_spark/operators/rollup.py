@@ -61,12 +61,17 @@ def tool_mask_expr(tool: Column, tool_vocab: list[str]) -> Column:
 
 
 def tools_from_mask(mask: Column, tool_vocab: list[str]) -> Column:
-    """Decode a bitmask back to the sorted tool-name array (pure projection)."""
+    """Decode a bitmask back to the sorted tool-name array (pure projection).
+
+    Bit ``i`` means ``tool_vocab[i]`` AS GIVEN — the encoder assigns tool ids
+    by vocab list position, and with append-only cross-run vocabs
+    (pipeline.reconcile_tool_vocab) the list is NOT globally sorted; only the
+    decoded output array is sorted for stable presentation."""
     slots = [
         F.when(mask.bitwiseAND(F.lit(1 << i).cast("long")) != 0, F.lit(v))
-        for i, v in enumerate(sorted(tool_vocab))
+        for i, v in enumerate(tool_vocab)
     ] or [F.lit(None).cast("string")]
-    return F.array_compact(F.array(*slots))
+    return F.array_sort(F.array_compact(F.array(*slots)))
 
 
 TIER_COLUMNS = [

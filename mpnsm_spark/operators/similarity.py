@@ -94,7 +94,13 @@ def sample_centroids(
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_centroids)
         .select(
-            F.row_number().over(Window.orderBy(F.col(id_col))).alias("centroid_id"),
+            # partitionBy(lit) keeps the single-partition semantics (n rows
+            # post-limit) but gives the window an explicit partition spec so
+            # WindowExec's "No Partition Defined" warning can't fire through
+            # every ivf_topk run and drown real warnings.
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy(F.col(id_col)))
+            .alias("centroid_id"),
             F.col(vec_col).alias("centroid"),
         )
     )

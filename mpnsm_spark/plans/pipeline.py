@@ -106,10 +106,38 @@ def encode_role_tool(
     )
 
 
-def dedupe_encoded(pre: DataFrame) -> DataFrame:
-    """Keep-last dedupe on (conv_id, turn_idx) over encoded narrow rows —
-    per-column max_by keyed on ts, all fixed-width buffers. Rows that tie on
-    ts with different payloads resolve per-column (pathological input only)."""
+def dedupe_encoded(pre: DataFrame, strict_ties: bool = False) -> DataFrame:
+    """Keep-last dedupe on (conv_id, turn_idx) over encoded narrow rows.
+
+    Default path: per-column max_by keyed on ts — every aggregation buffer is
+    fixed-width, so the hottest aggregation in the engine (first pass over all
+    raw turns) stays a codegen HashAggregate with map-side partial combine.
+
+    Tie contract (default): rows that tie on ts with *different* payloads
+    resolve per-column, possibly assembling a mixed row. The only duplicates
+    the pipeline itself produces are crash-resume replays, which are
+    bit-identical rows — any resolution yields the same row. Inputs that can
+    carry same-(conv,turn,ts) rows with differing payloads should pass
+    ``strict_ties=True``: one max_by over a struct ordered by
+    (ts, role_id, tool_id, value) keeps a single consistent row
+    deterministically, at the cost of the struct buffer demoting the plan to
+    SortAggregate (measured: struct-valued max/max_by cannot use
+    HashAggregate) — correctness over throughput, explicitly opt-in.
+    """
+    if strict_ties:
+        key = F.struct("ts", "role_id", "tool_id", "value")
+        return (
+            pre.groupBy("conv_id", "turn_idx")
+            .agg(F.max(key).alias("_r"))
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("_r.ts").alias("ts"),
+                F.col("_r.role_id").alias("role_id"),
+                F.col("_r.tool_id").alias("tool_id"),
+                F.col("_r.value").alias("value"),
+            )
+        )
     return pre.groupBy("conv_id", "turn_idx").agg(
         F.max("ts").alias("ts"),
         F.max_by("role_id", "ts").alias("role_id"),
@@ -127,10 +155,12 @@ class PipelineConfig:
     retention_cutoff: str | None = None  # drop raw turns with ts < cutoff
     # File-level retention (Iceberg DELETE-WHERE shape): drop whole files
     # whose footer max(ts) < cutoff, ADOPT untouched files by reference (zero
-    # copy), rewrite only cutoff-straddling files. Engages when the input is a
-    # bare parquet scan (validated by a footer-rowcount == count() guard);
-    # set False to force the row-level rewrite (e.g. when raw_df carries
-    # row-changing transformations the guard can't see, like text rewrites).
+    # copy), rewrite only cutoff-straddling files. Engages only when raw_df
+    # is PROVABLY a bare parquet scan: its optimized plan must be a single
+    # leaf relation (any Project/Filter — including row-count-preserving text
+    # rewrites — forces the row-level path), footer row totals must equal
+    # count(), and the session timezone must be UTC. Set False to force the
+    # row-level rewrite unconditionally.
     file_level_retention: bool = True
     # Run independent stages from concurrent driver threads. Default OFF:
     # with the single-exchange pipeline every stage is already cluster-wide,
@@ -140,6 +170,55 @@ class PipelineConfig:
     # cluster. MPNSM_SERIAL_DAG=1 forces serial regardless.
     parallel_stages: bool = False
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+
+def reconcile_tool_vocab(io: TableIO, run_vocab: list[str]) -> list[str]:
+    """Append-only tools dictionary across runs.
+
+    Stored tiers persist only the ``tools_mask`` bitmask; bit *positions* are
+    therefore part of the stored data's meaning. A vocab re-sorted per run
+    would silently re-index bits for older snapshots (and corrupt cross-
+    snapshot ``bit_or`` cascades on resume). This keeps every previously
+    persisted tool at its existing bit position and appends only genuinely
+    new tools (sorted) at the end, so the LATEST vocab decodes every snapshot
+    ever written under any prefix of it.
+    """
+    stored: list[str] = []
+    for t in ("tier_1m", "tier_1h", "tier_1d"):
+        if io.exists(t):
+            v = io.table_meta(t).get("tool_vocab") or []
+            try:
+                _validate_vocab_lineage(io, t, v)
+            except ValueError as e:
+                raise ValueError(f"tool_vocab divergence within {t}: {e}") from e
+            if len(v) > len(stored):
+                if v[: len(stored)] != stored:
+                    raise ValueError(
+                        f"tool_vocab divergence across tier tables: {stored!r} "
+                        f"is not a prefix of {v!r} — stored masks were encoded "
+                        "under incompatible dictionaries"
+                    )
+                stored = v
+            elif stored[: len(v)] != v:
+                raise ValueError(
+                    f"tool_vocab divergence across tier tables: {v!r} is not "
+                    f"a prefix of {stored!r}"
+                )
+    return list(stored) + sorted(set(run_vocab) - set(stored))
+
+
+def _validate_vocab_lineage(io: TableIO, table: str, latest: list[str]) -> None:
+    """Fail loudly if any snapshot of ``table`` was written under a vocab
+    that is NOT a prefix of ``latest`` — decoding its masks with ``latest``
+    would silently re-index bit positions (ADVICE round-2, pipeline vocab)."""
+    for meta in io.table_metas(table):
+        v = meta.get("tool_vocab")
+        if v is not None and latest[: len(v)] != v:
+            raise ValueError(
+                f"{table}: snapshot written under vocab {v!r} which is not a "
+                f"prefix of the current vocab {latest!r}; masks cannot be "
+                "decoded safely"
+            )
 
 
 # ------------------------------------------------------------------ normalize
@@ -254,6 +333,10 @@ def read_tier(spark: SparkSession, io: TableIO, tier: str) -> DataFrame:
     df = _latest_snapshot(io.read(spark, f"tier_{tier}"))
     if "tools" not in df.columns:
         vocab = io.table_meta(f"tier_{tier}").get("tool_vocab", [])
+        # Every snapshot must have been encoded under a prefix of the latest
+        # vocab (append-only dictionary, see reconcile_tool_vocab) — decoding
+        # rows with a re-indexed vocab would silently swap tools.
+        _validate_vocab_lineage(io, f"tier_{tier}", vocab)
         df = decode_tier(df, vocab)
     return df
 
@@ -412,6 +495,10 @@ def run_pipeline(
     )
     narrow = raw_aug.drop("text")
     role_vocab, tool_vocab = role_tool_vocabs(narrow)  # one tiny scan
+    # Bit positions in stored tools_mask columns are data: keep previously
+    # persisted tools at their positions, append only new ones (resume /
+    # incremental runs whose input adds or drops tools stay decodable).
+    tool_vocab = reconcile_tool_vocab(io, tool_vocab)
     pre = encode_role_tool(narrow.drop("bucket_id"), role_vocab, tool_vocab)
     norm = with_salt(dedupe_encoded(pre.repartition("conv_id")), cfg.num_buckets)
     multi_wave = cfg.wave_size is not None and cfg.wave_size < cfg.num_buckets
@@ -606,8 +693,14 @@ def run_pipeline(
         difference between a metadata commit and rewriting the corpus.
 
         Returns False (caller falls back to the row-level rewrite) when the
-        input is not a bare file scan: no input files, or the footer row
-        total disagrees with count() (a filter/expansion hides in raw_df).
+        input is not PROVABLY a bare file scan: no input files; the optimized
+        logical plan carries any node beyond the leaf relation (a Project /
+        Filter — even row-count-preserving ones like a text rewrite — means
+        adopted file bytes would silently diverge from raw_df's rows); the
+        footer row total disagrees with count(); or the session timezone is
+        not UTC (footer stats are normalized to naive UTC — classifying
+        against a cutoff interpreted in another session zone would
+        misclassify files near the boundary).
         """
         import datetime as _dt
 
@@ -622,6 +715,16 @@ def run_pipeline(
             # partial ROW-level retention from a crashed prior run: adopting
             # files now would duplicate the already-written buckets — finish
             # at row level instead.
+            return False
+        # Zero-I/O bare-scan proof: after optimization a pure parquet scan is
+        # a single leaf LogicalRelation (select("*") folds away; ANY
+        # transformation leaves a Project/Filter node). Only then are the
+        # file bytes and raw_df's rows the same thing, which is what adoption
+        # assumes. The row-count cross-check below stays as belt-and-braces.
+        plan = raw_df._jdf.queryExecution().optimizedPlan()
+        if plan.children().size() != 0 or "Relation" not in plan.nodeName():
+            return False
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
             return False
         files = [_strip_uri(f) for f in raw_df.inputFiles()]
         if not files or not all(f.endswith(".parquet") for f in files):

@@ -189,8 +189,16 @@ class TableIO:
             shutil.rmtree(tdir)
         return self.append(df, table, meta=meta)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        """Union of all committed snapshots (empty-but-valid error if none)."""
+    def read(
+        self, spark: SparkSession, table: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """Union of all committed snapshots (empty-but-valid error if none).
+
+        ``merge_schema=True`` unions footer schemas across snapshots — needed
+        for tables whose schema legitimately evolves (the lineage table gained
+        error columns); costs a footer read per file, so keep it off for big
+        data tables (Iceberg handles evolution natively via its own schema).
+        """
         if self.iceberg:
             return spark.read.table(f"{self.catalog_prefix}{table}")
         files = self._committed_files(table)
@@ -205,6 +213,8 @@ class TableIO:
             return int_df.unionByName(ext_df, allowMissingColumns=True)
         ddir = self._ddir(table)
         reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if any("/" in f for f in files):
             # hive-partitioned snapshot files: recover partition columns
             reader = reader.option("basePath", ddir)
@@ -296,6 +306,11 @@ class TableIO:
         table-level dictionaries (e.g. the tools bitmask vocabulary)."""
         manifests = self._manifests(table)
         return manifests[-1]["meta"] if manifests else {}
+
+    def table_metas(self, table: str) -> list[dict]:
+        """Meta dicts of ALL committed snapshots in version order — used to
+        validate cross-snapshot dictionary consistency (append-only vocabs)."""
+        return [m["meta"] for m in self._manifests(table)]
 
     def exists(self, table: str) -> bool:
         return self.snapshot_version(table) > 0

@@ -97,3 +97,24 @@ def test_gapfill_max_buckets_cap(spark):
     )
     out = gapfill(spark.createDataFrame(pdf), "1h", max_buckets_per_conv=10).toPandas()
     assert len(out) == 10
+
+
+def test_gapfill_anchored_tolerates_duplicate_anchors(spark):
+    """Duplicate (conv_id, bucket_start) anchors (un-deduped multi-snapshot
+    read) must not crash the F.sequence expansion; each duplicate emits
+    itself as a no-gap row."""
+    from pyspark.sql import functions as F
+
+    tier = spark.createDataFrame(
+        [
+            ("c", "2025-01-01 00:00:00", 1.0),
+            ("c", "2025-01-01 00:00:00", 1.0),  # duplicate anchor
+            ("c", "2025-01-01 03:00:00", 4.0),
+        ],
+        "conv_id string, bucket_start string, value_avg double",
+    ).withColumn("bucket_start", F.to_timestamp("bucket_start"))
+    out = gapfill_anchored(tier, "1h").toPandas()
+    # 2 duplicate no-gap rows at t0 + gaps 01:00,02:00 + anchor 03:00
+    assert len(out) == 5
+    assert int(out["is_gap"].sum()) == 2
+    assert not out["value_locf"].isna().any()

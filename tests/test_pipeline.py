@@ -148,3 +148,89 @@ def test_normalize_dedupes_keep_last(spark, transcripts):
     norm = normalize(dup, 4)
     assert norm.count() == transcripts.count()
     assert norm.filter(F.col("text") == "NEWER").count() == 50
+
+
+def test_dedupe_strict_ties_keeps_one_consistent_row(spark):
+    """Tied-ts duplicates with differing payloads: strict_ties must keep ONE
+    row (the lexicographic max over (ts, role_id, tool_id, value)), never a
+    column-mixed frankenrow."""
+    from mpnsm_spark.plans.pipeline import dedupe_encoded
+
+    pre = spark.createDataFrame(
+        [
+            ("c", 1, "2025-01-01 00:00:00", 1, 9, 1.0),
+            ("c", 1, "2025-01-01 00:00:00", 2, 0, 0.5),
+        ],
+        "conv_id string, turn_idx int, ts string, role_id int, tool_id int, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dedupe_encoded(pre, strict_ties=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    # max struct: ts ties -> role_id 2 wins -> its full payload (0, 0.5)
+    assert (r.role_id, r.tool_id, r.value) == (2, 0, 0.5)
+
+
+def _tier_snap(spark, conv_id, tools_mask, bucket_id, v):
+    """Minimal stored-schema tier snapshot (one row) for vocab tests."""
+    from mpnsm_spark.operators.rollup import TIER_COLUMNS_STORED
+
+    row = {
+        "conv_id": conv_id,
+        "bucket_start": "2025-01-01 00:00:00",
+        "turn_count": 1,
+        "first_turn_idx": 0,
+        "last_turn_idx": 0,
+        "n_user": 1,
+        "n_assistant": 0,
+        "n_system": 0,
+        "n_tool": 0,
+        "value_sum": 1.0,
+        "value_min": 1.0,
+        "value_max": 1.0,
+        "value_avg": 1.0,
+        "first_value": 1.0,
+        "last_value": 1.0,
+        "tools_mask": tools_mask,
+        "bucket_id": bucket_id,
+        "_v": v,
+    }
+    df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+    df = df.withColumns(
+        {
+            "bucket_start": F.to_timestamp("bucket_start"),
+            "tools_mask": F.col("tools_mask").cast("long"),
+        }
+    )
+    return df.select(*TIER_COLUMNS_STORED, "bucket_id", "_v")
+
+
+def test_tool_vocab_prefix_merge_decodes_old_snapshots(spark, tmp_path):
+    """Masks written under an earlier (shorter) vocab must decode correctly
+    after a later run appends new tools: bit positions are append-only."""
+    from mpnsm_spark.plans.pipeline import read_tier, reconcile_tool_vocab
+
+    io = TableIO(str(tmp_path / "whv"))
+    io.append(_tier_snap(spark, "a", 1, 0, 1), "tier_1m", meta={"tool_vocab": ["zeta"]})
+    merged = reconcile_tool_vocab(io, ["alpha", "zeta"])
+    assert merged == ["zeta", "alpha"]  # zeta keeps bit 0, alpha appends
+    io.append(_tier_snap(spark, "b", 2, 1, 2), "tier_1m", meta={"tool_vocab": merged})
+    out = {r.conv_id: r.tools for r in read_tier(spark, io, "1m").collect()}
+    assert out == {"a": ["zeta"], "b": ["alpha"]}
+
+
+def test_tool_vocab_divergence_fails_loudly(spark, tmp_path):
+    """A snapshot encoded under a NON-prefix vocab (the pre-fix re-sorted
+    dictionary) must refuse to decode instead of silently swapping tools."""
+    from mpnsm_spark.plans.pipeline import read_tier, reconcile_tool_vocab
+
+    io = TableIO(str(tmp_path / "whd"))
+    io.append(_tier_snap(spark, "a", 1, 0, 1), "tier_1m", meta={"tool_vocab": ["zeta"]})
+    io.append(
+        _tier_snap(spark, "b", 1, 0, 2),
+        "tier_1m",
+        meta={"tool_vocab": ["alpha", "zeta"]},  # re-sorted: zeta moved to bit 1
+    )
+    with pytest.raises(ValueError, match="prefix"):
+        read_tier(spark, io, "1m")
+    with pytest.raises(ValueError, match="divergence"):
+        reconcile_tool_vocab(io, ["alpha"])

@@ -125,3 +125,22 @@ def test_filtered_input_falls_back_to_row_level(spark, bronze, tmp_path):
     ret = lin[lin.stage == "retention"]
     assert set(ret.bucket_id) == {0, 1, 2, 3}  # per-bucket = row-level path
     assert read_raw_retained(spark, io).count() == raw.count()
+
+
+def test_rowcount_preserving_rewrite_falls_back_to_row_level(spark, bronze, tmp_path):
+    """A row-count-preserving transformation (e.g. a text rewrite) passes the
+    old footer-rowcount guard but must NOT be adopted by reference: the
+    optimized-plan bare-scan proof forces the row-level path, so raw_retained
+    carries the transformed rows, not the original file bytes."""
+    io = TableIO(str(tmp_path / "wh5"))
+    raw = spark.read.parquet(bronze).withColumn(
+        "text", F.concat(F.lit("REWRITTEN "), F.col("text"))
+    )
+    summary = run_pipeline(spark, raw, io, _cfg())
+    assert summary["integrity_ok"]
+    lin = io.read(spark, LINEAGE_TABLE).toPandas()
+    ret = lin[lin.stage == "retention"]
+    assert set(ret.bucket_id) == {0, 1, 2, 3}  # per-bucket => row-level path
+    stored = read_raw_retained(spark, io)
+    assert stored.filter(~F.col("text").startswith("REWRITTEN ")).count() == 0
+    assert stored.count() == raw.count()

@@ -131,7 +131,11 @@ def test_simhash_near_dup_buckets(spark):
 
     # md5-kernel variant (hex signature) and pure-JVM xxhash64 variant must
     # both rank the near-identical pair closer than the unrelated doc
-    out = dedup.simhash_buckets(df, prefix_bits=8).toPandas().set_index("doc_id")
+    out = (
+        dedup.simhash_buckets(df, prefix_bits=8, hash_strategy="md5")
+        .toPandas()
+        .set_index("doc_id")
+    )
     assert ham(out.loc[1, "simhash_hex"], out.loc[2, "simhash_hex"]) < ham(
         out.loc[1, "simhash_hex"], out.loc[3, "simhash_hex"]
     )
@@ -147,6 +151,15 @@ def test_simhash_near_dup_buckets(spark):
     assert ham_i(jvm.loc[1, "simhash"], jvm.loc[2, "simhash"]) < ham_i(
         jvm.loc[1, "simhash"], jvm.loc[3, "simhash"]
     )
+
+
+def test_simhash_default_plan_has_no_python_stage(spark):
+    """Production default must be the pure-JVM path: no Arrow/pandas/python
+    eval node anywhere in the physical plan (100-TB scale contract)."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = dedup.simhash_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan, f"default simhash plan contains {marker}"
 
 
 # ------------------------------------------------------------- similarity ---
