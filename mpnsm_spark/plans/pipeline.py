@@ -147,6 +147,23 @@ def dedupe_encoded(pre: DataFrame, strict_ties: bool = False) -> DataFrame:
 
 
 @dataclass
+class KernelStage:
+    """A per-series pandas-kernel pipeline stage with error isolation.
+
+    ``fn`` runs once per conversation (rows sorted by ``order_col``) and must
+    return a frame matching ``output_schema`` (key column carried through).
+    ``source`` picks the stage input: ``"norm"`` (deduped encoded turns) or a
+    tier name (``"1m"``/``"1h"``/``"1d"``).
+    """
+
+    name: str
+    fn: object  # Callable[[pd.DataFrame], pd.DataFrame]
+    output_schema: str
+    source: str = "1m"
+    order_col: str = "bucket_start"
+
+
+@dataclass
 class PipelineConfig:
     num_buckets: int = 16
     wave_size: int | None = None  # buckets per commit wave; None = all at once
@@ -169,6 +186,11 @@ class PipelineConfig:
     # multi-executor clusters where stages are narrow relative to the
     # cluster. MPNSM_SERIAL_DAG=1 forces serial regardless.
     parallel_stages: bool = False
+    # Per-series kernel stages run after the tier DAG with per-bucket error
+    # lineage: a poisoned series yields a status="error" lineage row (stage,
+    # bucket_id, error class) instead of failing the run, and only errored
+    # buckets reprocess on resume.
+    kernel_stages: tuple = ()
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
 
@@ -256,7 +278,7 @@ def load_lineage_map(spark: SparkSession, io: TableIO) -> dict[str, set[int]]:
     if not io.exists(LINEAGE_TABLE):
         return {}
     rows = (
-        io.read(spark, LINEAGE_TABLE)
+        io.read(spark, LINEAGE_TABLE, merge_schema=True)
         .filter(F.col("status") == "ok")
         .select("stage", "bucket_id")
         .distinct()
@@ -457,6 +479,147 @@ def verify_turn_integrity(
     """Per-turn text equality under stable (conv_id, turn_idx) ordering:
     normalized reference rows vs the stored raw_retained table."""
     return checksums_match(reference_df, read_raw_retained(spark, io))
+
+
+# ----------------------------------------------------- kernel stages (F1 + P8)
+
+
+def run_kernel_stage(
+    spark: SparkSession,
+    io: TableIO,
+    stage: KernelStage,
+    src: DataFrame,
+    cfg: PipelineConfig | None = None,
+    key: str = "conv_id",
+) -> dict:
+    """Run a per-series pandas kernel as a resumable pipeline stage with
+    PER-BUCKET ERROR LINEAGE (reference error-isolation contract,
+    ``/root/reference/mpnsm/time_series/deprecated/ts_model.py:1258-1260``:
+    a failed series must not fail the job).
+
+    A kernel exception for one conversation emits a synthetic error marker
+    row instead of propagating; the stage then writes:
+
+    - OK series' output rows to table ``stage.name`` (snapshot-versioned);
+    - a ``status="ok"`` lineage row per clean bucket;
+    - a ``status="error"`` lineage row per poisoned bucket carrying
+      ``error_class`` (first exception class observed) and ``n_errors``
+      (poisoned series count in the bucket).
+
+    Resume reprocesses ONLY buckets without an ok row — i.e. exactly the
+    errored (or never-run) buckets; clean buckets keep their committed
+    snapshots. Everything is one distributed applyInPandas pass; the error
+    channel rides in two extra columns, no accumulator races, no second job.
+    """
+    import pandas as pd
+
+    cfg = cfg or PipelineConfig()
+    t0 = time.time()
+    spark.sparkContext.setJobDescription(f"mpnsm:{stage.name}")
+    done = (
+        load_lineage_map(spark, io).get(stage.name, set())
+        if io.exists(LINEAGE_TABLE)
+        else set()
+    )
+    remaining = sorted(set(range(cfg.num_buckets)) - done)
+    result = {
+        "stage": stage.name,
+        "buckets_run": len(remaining),
+        "buckets_error": {},
+        "output_rows": 0,
+        "errored_series": 0,
+        "wall_seconds": 0.0,
+    }
+    if not remaining:
+        return result
+
+    salted = src if "bucket_id" in src.columns else with_salt(src, cfg.num_buckets, key=key)
+    if len(remaining) < cfg.num_buckets:
+        salted = salted.filter(F.col("bucket_id").isin([int(b) for b in remaining]))
+    out_cols = [c.strip().rsplit(" ", 1)[0].strip().split()[0] for c in stage.output_schema.split(",")]
+    aug_schema = stage.output_schema + ", _status string, _error string"
+    fn, order_col = stage.fn, stage.order_col
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+        tame_arrow_threads()
+        k = pdf[key].iloc[0]
+        try:
+            out = fn(pdf.sort_values(order_col).reset_index(drop=True))
+            out = out.copy()
+            out["_status"] = "ok"
+            out["_error"] = None
+            return out
+        except Exception as e:  # noqa: BLE001 — the isolation contract
+            marker = {c: [None] for c in out_cols}
+            marker[key] = [k]
+            marker["_status"] = ["error"]
+            marker["_error"] = [type(e).__name__]
+            return pd.DataFrame(marker)
+
+    out = (
+        salted.drop("bucket_id")
+        .groupBy(key)
+        .applyInPandas(wrapped, aug_schema)
+    )
+    out = with_salt(out, cfg.num_buckets, key=key).persist()
+    try:
+        ok_rows = out.filter(F.col("_status") == "ok").drop("_status", "_error")
+        version = io.append(
+            ok_rows.withColumn(
+                "_v", F.lit(io.snapshot_version(stage.name) + 1)
+            ),
+            stage.name,
+            meta={"stage": stage.name, "buckets": remaining},
+        )
+        per_bucket = {
+            int(r.bucket_id): r
+            for r in out.groupBy("bucket_id")
+            .agg(
+                F.sum(F.when(F.col("_status") == "ok", 1).otherwise(0)).alias("n_ok"),
+                F.sum(F.when(F.col("_status") == "error", 1).otherwise(0)).alias("n_err"),
+                F.min("_error").alias("error_class"),
+            )
+            .collect()
+        }
+    finally:
+        out.unpersist()
+    wall = time.time() - t0
+    lineage_rows = []
+    for b in remaining:
+        r = per_bucket.get(b)
+        n_ok = int(r.n_ok) if r is not None else 0
+        n_err = int(r.n_err) if r is not None else 0
+        err_cls = r.error_class if (r is not None and n_err) else None
+        if n_err:
+            result["buckets_error"][b] = err_cls
+        result["errored_series"] += n_err
+        result["output_rows"] += n_ok
+        lineage_rows.append(
+            (
+                cfg.run_id,
+                stage.name,
+                b,
+                0,
+                n_ok,
+                0,
+                wall / max(len(remaining), 1),
+                "error" if n_err else "ok",
+                version,
+                err_cls,
+                n_err,
+            )
+        )
+    lineage = spark.createDataFrame(
+        lineage_rows,
+        "run_id string, stage string, bucket_id int, input_rows long, "
+        "output_rows long, encode_bytes long, wall_seconds double, "
+        "status string, version int, error_class string, n_errors long",
+    )
+    io.append(lineage.coalesce(1), LINEAGE_TABLE)
+    result["wall_seconds"] = round(wall, 3)
+    return result
 
 
 # -------------------------------------------------------------------- pipeline
@@ -898,10 +1061,18 @@ def run_pipeline(
             df.unpersist()
         raise errors[0]
 
+    # Per-series kernel stages (error-isolated) run after the tier DAG so
+    # they can consume the cached tier frames; a poisoned series marks its
+    # bucket status="error" in lineage without failing the run.
+    kernel_summaries: dict[str, dict] = {}
+    for ks in cfg.kernel_stages:
+        src = norm if ks.source == "norm" else tier_source(ks.source)[0]
+        kernel_summaries[ks.name] = run_kernel_stage(spark, io, ks, src, cfg)
+
     t_dag_done = time.time()
     # input_turns (deduped) from the tier_1m lineage the run just committed —
     # no separate count barrier over norm.
-    lin = io.read(spark, LINEAGE_TABLE).filter(
+    lin = io.read(spark, LINEAGE_TABLE, merge_schema=True).filter(
         (F.col("stage") == "tier_1m") & (F.col("status") == "ok")
     )
     input_turns = (
@@ -927,4 +1098,5 @@ def run_pipeline(
             "stage_dag": round(t_dag_done - t_norm_done, 3),
         },
         "integrity_ok": integrity_ok[0],
+        "kernel_stages": kernel_summaries,
     }

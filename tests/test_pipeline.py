@@ -234,3 +234,62 @@ def test_tool_vocab_divergence_fails_loudly(spark, tmp_path):
         read_tier(spark, io, "1m")
     with pytest.raises(ValueError, match="divergence"):
         reconcile_tool_vocab(io, ["alpha"])
+
+
+def test_kernel_stage_error_lineage_and_resume(spark, transcripts, tmp_path):
+    """A poisoned series in a kernel stage: the run completes, the poisoned
+    bucket gets a status='error' lineage row (stage, bucket_id, error class),
+    the summary reports it, and resume reprocesses ONLY the errored bucket."""
+    from mpnsm_spark.plans.pipeline import KernelStage, run_kernel_stage
+
+    poison_conv = transcripts.select("conv_id").first().conv_id
+    calls = {"poisoned": True}
+
+    def make_kernel(poison: bool):
+        def kernel(pdf):
+            if poison and (pdf["conv_id"] == poison_conv).any():
+                raise ValueError("poisoned series")
+            return pdf.groupby("conv_id", as_index=False).agg(
+                n=("turn_count", "sum")
+            )
+        return kernel
+
+    def stage(poison):
+        return KernelStage(
+            name="per_conv_totals",
+            fn=make_kernel(poison),
+            output_schema="conv_id string, n long",
+            source="1m",
+        )
+
+    io = TableIO(str(tmp_path / "whk"))
+    summary = run_pipeline(
+        spark, transcripts, io, _cfg(kernel_stages=(stage(True),))
+    )
+    ks = summary["kernel_stages"]["per_conv_totals"]
+    assert ks["errored_series"] == 1
+    assert list(ks["buckets_error"].values()) == ["ValueError"]
+    bad_bucket = next(iter(ks["buckets_error"]))
+    lin = io.read(spark, LINEAGE_TABLE, merge_schema=True).toPandas()
+    err_rows = lin[(lin.stage == "per_conv_totals") & (lin.status == "error")]
+    assert set(err_rows.bucket_id) == {bad_bucket}
+    assert (err_rows.error_class == "ValueError").all()
+    assert int(err_rows.n_errors.sum()) == 1
+    # run completed: every OTHER stage fully green, integrity intact
+    assert summary["integrity_ok"]
+
+    # resume with a healthy kernel: ONLY the errored bucket reprocesses
+    summary2 = run_pipeline(
+        spark, transcripts, io, _cfg(kernel_stages=(stage(False),))
+    )
+    ks2 = summary2["kernel_stages"]["per_conv_totals"]
+    assert ks2["buckets_run"] == 1
+    assert ks2["buckets_error"] == {}
+    assert all(v == 0 for v in summary2["stages"].values())
+    # stage table now covers every conversation exactly once (keep-last)
+    from mpnsm_spark.plans.pipeline import _latest_snapshot
+
+    stored = _latest_snapshot(io.read(spark, "per_conv_totals"))
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert stored.select("conv_id").distinct().count() == n_convs
+    assert stored.count() == n_convs
