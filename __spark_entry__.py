@@ -589,6 +589,60 @@ FROM events e JOIN fences USING (user_id)
 """
 
 
+def q_outlier_dummies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier dummy-encoding mode (reference outlier_handle='fit',
+    forecast.py:283-303): rows kept, one indicator regressor column per
+    outlier day. The wide dummy columns are folded back to scalars for the
+    driver hash (column set is data-dependent, oracle SQL is static):
+    dummy_active = row-sum over ALL dummy columns (proves each outlier row
+    activates exactly its own day's column and nothing else), n_dummy_cols =
+    the projected column count (proves one column per distinct outlier day).
+    """
+    from mpnsm_spark.operators.outliers import outlier_dummies
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    wide = outlier_dummies(
+        ev, key="conv_id", value_col="value", date_col="day", max_dummies=512
+    )
+    dummy_cols = [c for c in wide.columns if c.startswith("outlier_2")]
+    active = F.lit(0)
+    for c in dummy_cols:
+        active = active + F.col(c)
+    return wide.select(
+        "event_id",
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+        active.cast("int").alias("dummy_active"),
+        F.lit(len(dummy_cols)).cast("int").alias("n_dummy_cols"),
+    )
+
+
+SQL_OUTLIER_DUMMIES = """
+WITH fences AS (
+  SELECT user_id,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT e.event_id, e.user_id, date_trunc('day', e.ts) AS day,
+         (e.value < q1 - 1.5 * (q3 - q1)) OR (e.value > q3 + 1.5 * (q3 - q1)) AS is_outlier
+  FROM events e JOIN fences USING (user_id)
+), ndays AS (
+  SELECT count(DISTINCT day) AS n FROM flags WHERE is_outlier
+)
+SELECT event_id, user_id,
+       CAST(is_outlier AS INT) AS is_outlier,
+       CAST(is_outlier AS INT) AS dummy_active,
+       CAST((SELECT n FROM ndays) AS INT) AS n_dummy_cols
+FROM flags
+"""
+
+
 def q_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: alternating extreme-trim to ≤20 rows/user, closed form."""
     from mpnsm_spark.operators.outliers import tail_trim
@@ -1515,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "rolling_sum_minperiods": q_rolling_sum_minperiods,
         "iqr_outliers": q_iqr_outliers,
+        "outlier_dummies": q_outlier_dummies,
         "tail_trim": q_tail_trim,
         "cv_expanding": q_cv_expanding,
         "config_inherit": q_config_inherit,
@@ -1559,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         "rolling_sum_minperiods": SQL_ROLLING_MINP,
         "iqr_outliers": SQL_IQR,
+        "outlier_dummies": SQL_OUTLIER_DUMMIES,
         "tail_trim": SQL_TAIL_TRIM,
         "cv_expanding": SQL_CV,
         "config_inherit": SQL_CONFIG,

@@ -58,6 +58,94 @@ def wmape(y: np.ndarray, yhat: np.ndarray) -> float:
 METRICS: dict[str, Callable] = {"wmape": wmape}
 
 
+# ------------------------------------------------- ladder + convergence rules
+
+
+def make_ladder(
+    initial: float, final: float, step: float, mode: str = "additive"
+) -> list[float]:
+    """Generate the heuristic search ladder from a base value (reference
+    ``hyperparameter_tuning.py:201-225``).
+
+    - ``additive``: arithmetic walk ``initial, initial±step, ...`` up to (not
+      including) ``final`` — ascending or descending by the sign of
+      ``final - initial``.
+    - ``multiplicative``: geometric walk with ratio ``step`` (> 1) from
+      ``initial`` toward ``final``; the first value at or past ``final`` is
+      included (the reference stops after overshooting). Descending inputs
+      walk down by dividing.
+
+    Deliberate divergence from the reference: its multiplicative branch emits
+    the initial value twice (``values=[v0]`` then appends ``v0*step**0``); we
+    emit each rung once — the duplicate is a no-op for the search (same score,
+    never chosen differently) but wastes a fit per fold.
+    """
+    if mode == "additive":
+        if step <= 0:
+            raise ValueError("additive ladder needs step > 0")
+        sgn = 1.0 if final >= initial else -1.0
+        return [float(v) for v in np.arange(initial, final, sgn * step)]
+    if mode != "multiplicative":
+        raise ValueError(f"mode must be additive|multiplicative, got {mode!r}")
+    if step <= 1 or initial == 0 or final == 0:
+        raise ValueError("multiplicative ladder needs step > 1 and nonzero ends")
+    out = [float(initial)]
+    if final >= initial:
+        while out[-1] < final:
+            out.append(out[-1] * step)
+    else:
+        while out[-1] > final:
+            out.append(out[-1] / step)
+    return out
+
+
+class MetricSpec:
+    """A metric with the reference's per-metric convergence tolerances
+    (``metrics.py:107-118``): ``max_worse`` = largest tolerated regression
+    before the search aborts a ladder, ``min_better`` = smallest gain that
+    still counts as an improvement."""
+
+    def __init__(
+        self,
+        fn: Callable | str = "wmape",
+        higher_better: bool = False,
+        max_worse: float = 0.05,
+        min_better: float = 0.05,
+        name: str | None = None,
+    ):
+        self.fn = METRICS[fn] if isinstance(fn, str) else fn
+        self.higher_better = higher_better
+        self.max_worse = float(max_worse)
+        self.min_better = float(min_better)
+        self.name = name or getattr(fn, "__name__", str(fn))
+
+
+def ladder_converged(prev: dict[str, float], new: dict[str, float], specs) -> bool:
+    """The reference's two-value convergence rule
+    (``hyperparameter_tuning.py:96-145``), comparing the LAST TWO ladder
+    rungs' scores per metric:
+
+    - any metric worse than ``prev`` by more than its ``max_worse`` →
+      converged immediately;
+    - otherwise converged iff NO metric improved by at least its
+      ``min_better``.
+    """
+    improved = 0
+    for spec in specs:
+        p, n = prev[spec.name], new[spec.name]
+        if spec.higher_better:
+            if n >= p + spec.min_better:
+                improved += 1
+            elif n < p - spec.max_worse:
+                return True
+        else:
+            if n <= p - spec.min_better:
+                improved += 1
+            elif n > p + spec.max_worse:
+                return True
+    return improved == 0
+
+
 # ------------------------------------------------------------- forecasters
 
 
@@ -103,6 +191,8 @@ def tune_per_series(
     chooser: str = "median",
     ladder_early_stop: bool = False,
     patience: int = 2,
+    metric_specs: Sequence[MetricSpec] | None = None,
+    fold_choice: str = "best",
 ) -> DataFrame:
     """Grid/ladder hyperparameter search per series over expanding CV folds.
 
@@ -111,23 +201,30 @@ def tune_per_series(
     param (ties → earliest in ``param_grid``). The final param is the
     cross-fold ``median`` (numeric) or ``mode`` (ties → smallest) — SURVEY A8.
 
-    ``ladder_early_stop`` enables the reference's heuristic convergence rule
-    (stop after ``patience`` consecutive non-improving params); leave False
-    for the exhaustive, oracle-replayable grid.
+    Early-stop modes (reference ``hyperparameter_tuning.py:96-145``):
+
+    - default: exhaustive grid (oracle-replayable);
+    - ``ladder_early_stop=True`` without ``metric_specs``: simple patience
+      rule (stop after ``patience`` consecutive non-improving params);
+    - ``metric_specs=[MetricSpec(...), ...]``: the reference's per-metric
+      tolerance rule — walking the ladder stops at the first rung where any
+      metric regresses beyond its ``max_worse`` or no metric improves by its
+      ``min_better`` (see :func:`ladder_converged`). With
+      ``fold_choice="penultimate"`` the fold's winner is the rung BEFORE the
+      convergence stop (the reference's chooser: the last rung "may be
+      significantly worse due to converge parameters"); ``"best"`` keeps the
+      argmin/argmax of the first metric.
 
     Output: (key, chosen_param double, folds_used int); series with zero
     valid folds emit nothing.
     """
     metric_fn = METRICS[metric] if isinstance(metric, str) else metric
+    specs = list(metric_specs) if metric_specs else None
     grid = list(param_grid)
     order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf[value_col].to_numpy(np.float64)
-        n = len(vals)
-        best_params: list[float] = []
-        for cutoff in expanding_cutoffs(n, n_folds, horizon, jump, min_train):
-            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+    def fold_best(train, test) -> float:
+        if specs is None:
             best_s, best_p, streak = None, None, 0
             for p in grid:
                 s = metric_fn(test, forecaster(train, horizon, p))
@@ -137,7 +234,30 @@ def tune_per_series(
                     streak += 1
                     if streak >= patience:
                         break
-            best_params.append(float(best_p))
+            return float(best_p)
+        # tolerance-rule ladder walk
+        tried: list[tuple[float, dict[str, float]]] = []
+        for p in grid:
+            preds = forecaster(train, horizon, p)
+            scores = {sp.name: sp.fn(test, preds) for sp in specs}
+            tried.append((float(p), scores))
+            if len(tried) >= 2 and ladder_converged(tried[-2][1], scores, specs):
+                break
+        if fold_choice == "penultimate" and len(tried) >= 2:
+            return tried[-2][0]
+        lead = specs[0]
+        keyfn = (lambda t: -t[1][lead.name]) if lead.higher_better else (
+            lambda t: t[1][lead.name]
+        )
+        return min(tried, key=keyfn)[0]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        n = len(vals)
+        best_params: list[float] = []
+        for cutoff in expanding_cutoffs(n, n_folds, horizon, jump, min_train):
+            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+            best_params.append(fold_best(train, test))
         if not best_params:
             return pd.DataFrame(
                 {"conv_id": [], "chosen_param": [], "folds_used": []}

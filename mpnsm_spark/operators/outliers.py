@@ -78,6 +78,72 @@ def tail_trim(
     ).drop("_n", "_ra", "_rd")
 
 
+def outlier_dummies(
+    df: DataFrame,
+    key: str = "conv_id",
+    value_col: str = "value",
+    date_col: str = "bucket_start",
+    k: float = 1.5,
+    max_dummies: int = 64,
+) -> DataFrame:
+    """Keep outlier rows and encode them as per-outlier-date DUMMY REGRESSOR
+    columns instead of dropping them — the reference's ``outlier_handle='fit'``
+    mode (``/root/reference/mpnsm/time_series/forecast.py:283-303``:
+    ``add_fit_outliers``/``set_outliers`` add one indicator regressor per
+    outlier date so the model fits the spike instead of swallowing it).
+
+    Column ``outlier_<date>`` is 1 exactly where THIS series has its outlier
+    at that date (``is_outlier AND date == d``) — per-series correct even
+    though the column set is global. The distinct outlier-date scan is a
+    driver decision aggregate, bounded by ``max_dummies`` (more distinct
+    dates than that raises: a dummy-per-date design is only sane for a
+    bounded spike set; use mode='drop'/'flag' otherwise). The dummy columns
+    themselves are one ``F.when`` projection each — no extra shuffle beyond
+    the fence aggregation."""
+    flagged = iqr_outliers(df, key=key, value_col=value_col, k=k)
+    dates = sorted(
+        r[0]
+        for r in flagged.filter(F.col("is_outlier"))
+        .select(date_col)
+        .distinct()
+        .collect()
+    )
+    if len(dates) > max_dummies:
+        raise ValueError(
+            f"outlier_dummies: {len(dates)} distinct outlier dates exceeds "
+            f"max_dummies={max_dummies}"
+        )
+    cols = {
+        f"outlier_{str(d).replace(' ', '_').replace(':', '').replace('-', '')}": (
+            F.col("is_outlier") & (F.col(date_col) == F.lit(d))
+        ).cast("int")
+        for d in dates
+    }
+    return flagged.withColumns(cols)
+
+
+def handle_outliers(
+    df: DataFrame,
+    mode: str = "flag",
+    key: str = "conv_id",
+    value_col: str = "value",
+    date_col: str = "bucket_start",
+    k: float = 1.5,
+) -> DataFrame:
+    """The reference's ``outlier_handle`` switch (forecast.py:273-303):
+    ``flag`` (annotate only), ``drop`` (remove outlier rows), ``dummy``
+    (keep rows, add per-date indicator regressors — the 'fit' mode)."""
+    if mode == "flag":
+        return iqr_outliers(df, key=key, value_col=value_col, k=k)
+    if mode == "drop":
+        return iqr_outliers(df, key=key, value_col=value_col, k=k).filter(
+            ~F.col("is_outlier")
+        )
+    if mode == "dummy":
+        return outlier_dummies(df, key=key, value_col=value_col, date_col=date_col, k=k)
+    raise ValueError(f"mode must be flag|drop|dummy, got {mode!r}")
+
+
 CHANGEPOINT_SCHEMA = (
     "conv_id string, bucket_start timestamp, score double, rank int"
 )

@@ -203,3 +203,34 @@ def test_metrics_closed_forms(spark):
     assert got.loc["a", "wmape"] == pytest.approx(7 / 100)
     assert got.loc["a", "coverage"] == pytest.approx(1.0)
     assert got.loc["b", "mae"] == pytest.approx(0.5)
+
+
+def test_outlier_dummies_wide_encoding(spark):
+    """mode='dummy' (reference outlier_handle='fit'): rows kept, one 0/1
+    column per distinct outlier date, active exactly at (series, date)
+    outlier cells; 'drop' removes the rows; 'flag' annotates."""
+    from pyspark.sql import functions as F
+
+    from mpnsm_spark.operators.outliers import handle_outliers, outlier_dummies
+
+    rows = []
+    for conv, spike_day in (("a", "2025-01-05"), ("b", "2025-01-09")):
+        for d in range(1, 13):
+            day = f"2025-01-{d:02d}"
+            rows.append((conv, day, 1000.0 if day == spike_day else float(d % 3)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, day string, value double"
+    ).withColumn("day", F.to_timestamp("day"))
+
+    wide = outlier_dummies(df, date_col="day").toPandas()
+    dummy_cols = sorted(c for c in wide.columns if c.startswith("outlier_2"))
+    assert len(dummy_cols) == 2  # one column per distinct outlier day
+    assert wide[dummy_cols].to_numpy().sum() == 2
+    a_row = wide[(wide.conv_id == "a") & wide.is_outlier]
+    assert len(a_row) == 1 and a_row[dummy_cols[0]].iloc[0] == 1
+    assert a_row[dummy_cols[1]].iloc[0] == 0  # b's spike day is not a's dummy
+
+    dropped = handle_outliers(df, mode="drop", date_col="day")
+    assert dropped.count() == 22 and dropped.filter("value > 100").count() == 0
+    flagged = handle_outliers(df, mode="flag", date_col="day")
+    assert flagged.filter("is_outlier").count() == 2

@@ -216,3 +216,115 @@ def test_stepwise_predict_matches_closed_form(spark, series_df):
         # convergence toward the mean: |a_k - mean| halves each step
         resid = (sub["yhat_a"] - mean_a).abs().to_numpy()
         assert (resid[1:] <= resid[:-1] * 0.5 + 1e-9).all()
+
+
+# ----------------------------------------------- ladder + tolerance rules ---
+
+
+def test_make_ladder_values():
+    from mpnsm_spark.functions.tuning import make_ladder
+
+    assert make_ladder(1, 10, 2, "additive") == [1.0, 3.0, 5.0, 7.0, 9.0]
+    assert make_ladder(10, 1, 3, "additive") == [10.0, 7.0, 4.0]
+    assert make_ladder(1, 16, 2, "multiplicative") == [1.0, 2.0, 4.0, 8.0, 16.0]
+    # overshoot: first rung at/past final is included, then stop
+    assert make_ladder(1, 10, 3, "multiplicative") == [1.0, 3.0, 9.0, 27.0]
+    assert make_ladder(16, 1, 4, "multiplicative") == [16.0, 4.0, 1.0]
+    with pytest.raises(ValueError):
+        make_ladder(1, 10, 1.0, "multiplicative")
+    with pytest.raises(ValueError):
+        make_ladder(1, 10, 2, "bogus")
+
+
+def test_ladder_converged_rule_table():
+    """Truth table for the reference's two-rung convergence rule
+    (hyperparameter_tuning.py:96-145)."""
+    from mpnsm_spark.functions.tuning import MetricSpec, ladder_converged
+
+    lower = [MetricSpec(lambda y, yh: 0.0, higher_better=False,
+                        max_worse=0.05, min_better=0.01, name="m")]
+    # improved by >= min_better -> keep walking
+    assert not ladder_converged({"m": 0.50}, {"m": 0.48}, lower)
+    # regressed beyond max_worse -> stop immediately
+    assert ladder_converged({"m": 0.50}, {"m": 0.56}, lower)
+    # flat (no metric improved enough) -> stop
+    assert ladder_converged({"m": 0.50}, {"m": 0.495}, lower)
+    higher = [MetricSpec(lambda y, yh: 0.0, higher_better=True,
+                         max_worse=0.05, min_better=0.01, name="m")]
+    assert not ladder_converged({"m": 0.50}, {"m": 0.52}, higher)
+    assert ladder_converged({"m": 0.50}, {"m": 0.44}, higher)
+    # multi-metric: ONE improving metric keeps the walk alive
+    two = [
+        MetricSpec(lambda y, yh: 0.0, False, 0.05, 0.01, name="a"),
+        MetricSpec(lambda y, yh: 0.0, False, 0.05, 0.01, name="b"),
+    ]
+    assert not ladder_converged({"a": 0.5, "b": 0.5}, {"a": 0.5, "b": 0.45}, two)
+    # ...unless another metric blows through max_worse
+    assert ladder_converged({"a": 0.5, "b": 0.5}, {"a": 0.56, "b": 0.45}, two)
+
+
+def _pandas_tolerance_tune(pdf, grid, specs, fold_choice="penultimate",
+                           n_folds=3, horizon=10, jump=5, min_train=5):
+    """Independent pandas replay of the reference tolerance-ladder rules:
+    walk rungs, stop per ladder_converged semantics (re-derived here from
+    hyperparameter_tuning.py:96-145, NOT imported), pick the pre-stop rung,
+    median across folds."""
+    out = {}
+    for conv, g in pdf.groupby("conv_id"):
+        vals = g.sort_values("turn_idx")["value"].to_numpy()
+        best = []
+        for cutoff in expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train):
+            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+            tried = []
+            for p in grid:
+                preds = last_w_mean(train, horizon, p)
+                scores = {sp.name: sp.fn(test, preds) for sp in specs}
+                tried.append((float(p), scores))
+                if len(tried) >= 2:
+                    prev, new = tried[-2][1], scores
+                    improved, aborted = 0, False
+                    for sp in specs:
+                        if sp.higher_better:
+                            if new[sp.name] >= prev[sp.name] + sp.min_better:
+                                improved += 1
+                            elif new[sp.name] < prev[sp.name] - sp.max_worse:
+                                aborted = True
+                        else:
+                            if new[sp.name] <= prev[sp.name] - sp.min_better:
+                                improved += 1
+                            elif new[sp.name] > prev[sp.name] + sp.max_worse:
+                                aborted = True
+                    if aborted or improved == 0:
+                        break
+            if fold_choice == "penultimate" and len(tried) >= 2:
+                best.append(tried[-2][0])
+            else:
+                best.append(min(tried, key=lambda t: t[1][specs[0].name])[0])
+        if best:
+            out[conv] = float(np.median(best))
+    return out
+
+
+def test_tolerance_ladder_matches_pandas_replay(spark, series_df):
+    """Spark tolerance-rule search == independent pandas replay of the
+    reference's convergence + penultimate-choice semantics, on all 60 seeded
+    series, for both fold_choice modes."""
+    from mpnsm_spark.functions.tuning import MetricSpec, make_ladder, wmape as _wm
+
+    grid = make_ladder(1, 16, 2, "multiplicative")  # [1,2,4,8,16]
+    specs = [MetricSpec(_wm, higher_better=False, max_worse=0.02,
+                        min_better=0.002, name="wmape")]
+    for mode in ("penultimate", "best"):
+        got = tune_per_series(
+            series_df, param_grid=grid, metric_specs=specs, fold_choice=mode
+        ).toPandas()
+        want = _pandas_tolerance_tune(
+            series_df.toPandas(), grid, specs, fold_choice=mode
+        )
+        assert len(got) == len(want)
+        for r in got.itertuples(index=False):
+            assert r.chosen_param == want[r.conv_id], (mode, r.conv_id)
+    # the tolerance rule actually binds: some series stop before the last rung
+    got_exhaustive = tune_per_series(series_df, param_grid=grid).toPandas()
+    merged = got.merge(got_exhaustive, on="conv_id", suffixes=("_tol", "_full"))
+    assert (merged["chosen_param_tol"] != merged["chosen_param_full"]).any()
