@@ -300,14 +300,23 @@ def cv_fit_predict(
     key: str = "conv_id",
     order_col: str = "turn_idx",
     value_col: str = "value",
+    with_debug: bool = False,
 ) -> DataFrame:
     """Fold replay (reference ``fit_predictCV``): per fold, fit on the train
     prefix and emit (fold, step, y, yhat) rows — the union-with-fold-column
-    shape the reference produces (``forecast.py:753-756``)."""
+    shape the reference produces (``forecast.py:753-756``).
+
+    ``with_debug=True`` enriches every row with the fit's parameters —
+    ``param`` (the hyperparameter the fold fitted with) and ``cutoff`` (the
+    fold's train length) — the reference's coefficient/debug-enriched output
+    contract (``model.py:194-222``, ``deprecated/ts_model.py:1229-1254``)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].to_numpy(np.float64)
-        rows = {"conv_id": [], "fold": [], "step": [], "y": [], "yhat": []}
+        cols = ["conv_id", "fold", "step", "y", "yhat"] + (
+            ["param", "cutoff"] if with_debug else []
+        )
+        rows = {c: [] for c in cols}
         for f, cutoff in enumerate(
             expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train)
         ):
@@ -319,14 +328,17 @@ def cv_fit_predict(
                 rows["step"].append(i)
                 rows["y"].append(float(y))
                 rows["yhat"].append(float(yh))
-        out = pd.DataFrame(rows)
-        return out.astype({"fold": "int32", "step": "int32"})
+                if with_debug:
+                    rows["param"].append(float(param))
+                    rows["cutoff"].append(cutoff)
+        out = pd.DataFrame(rows).astype({"fold": "int32", "step": "int32"})
+        return out.astype({"cutoff": "int32"}) if with_debug else out
 
     order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
     return apply_per_series(
         df.select(key, *order_cols, value_col),
         kernel,
-        CV_PRED_SCHEMA,
+        CV_PRED_SCHEMA + ", param double, cutoff int" if with_debug else CV_PRED_SCHEMA,
         key=key,
         order_col=order_cols,
     )

@@ -149,6 +149,55 @@ def ivf_index(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the sampled centroids: assign → mean per
+    bucket → new centroids. The query path (``ivf_index``/``ivf_search``) is
+    unchanged — refinement only moves the centroids so buckets balance and
+    probes recall more true neighbors.
+
+    Plan shape per iteration: one assignment pass (broadcast centroids, no
+    shuffle), then the element-wise mean via ``posexplode`` →
+    ``groupBy(bucket, pos)`` — partial aggregation reduces each task to
+    k×dim rows before the shuffle, so the exchanged volume is centroid-sized,
+    not corpus-sized. Empty buckets keep their previous centroid.
+    """
+    for _ in range(n_iters):
+        assigned = ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("bucket", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.alias("c")
+            .join(
+                F.broadcast(means).alias("m"),
+                F.col("c.centroid_id") == F.col("m.bucket"),
+                "left",
+            )
+            .select(
+                F.col("c.centroid_id").alias("centroid_id"),
+                F.coalesce(F.col("m.new_centroid"), F.col("c.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return centroids
+
+
 def ivf_search(
     index: DataFrame,
     centroids: DataFrame,

@@ -25,6 +25,7 @@ def residual_intervals(
     yhat_col: str = "yhat",
     lo_q: float = 0.1,
     hi_q: float = 0.9,
+    keep_debug: bool = False,
 ) -> DataFrame:
     """Append [yhat_lo, yhat_hi] per row from per-series residual quantiles.
 
@@ -33,6 +34,11 @@ def residual_intervals(
     reference's empirical-quantile interval construction). Also flags
     ``covered`` (y inside the interval) so a downstream agg yields empirical
     coverage directly.
+
+    ``keep_debug=True`` keeps the fitted residual quantiles themselves as
+    ``resid_q_lo``/``resid_q_hi`` columns — the reference's enriched-output
+    contract (coefficients/debug attached to every forecast row,
+    ``model.py:194-222``).
     """
     resid = (F.col(y_col) - F.col(yhat_col)).alias("_r")
     qs = df.select(key, resid).groupBy(key).agg(
@@ -42,14 +48,16 @@ def residual_intervals(
     out = df.join(F.broadcast(qs), key)
     lo = F.col(yhat_col) + F.col("_q_lo")
     hi = F.col(yhat_col) + F.col("_q_hi")
-    return (
+    out = (
         out.withColumn("yhat_lo", lo)
         .withColumn("yhat_hi", hi)
         .withColumn(
             "covered", (F.col(y_col) >= lo) & (F.col(y_col) <= hi)
         )
-        .drop("_q_lo", "_q_hi")
     )
+    if keep_debug:
+        return out.withColumnsRenamed({"_q_lo": "resid_q_lo", "_q_hi": "resid_q_hi"})
+    return out.drop("_q_lo", "_q_hi")
 
 
 def interval_coverage(intervals: DataFrame, key: str = "conv_id") -> DataFrame:

@@ -328,3 +328,50 @@ def test_tolerance_ladder_matches_pandas_replay(spark, series_df):
     got_exhaustive = tune_per_series(series_df, param_grid=grid).toPandas()
     merged = got.merge(got_exhaustive, on="conv_id", suffixes=("_tol", "_full"))
     assert (merged["chosen_param_tol"] != merged["chosen_param_full"]).any()
+
+
+# -------------------------------------------- coefficient/debug enrichment ---
+
+
+def test_stepwise_debug_columns_match_kernel_internals(spark, series_df):
+    """with_debug must attach the kernel's ACTUAL fitted params: mean_a is
+    the decimal-exact train mean, a0/b0 the last train values, n_train the
+    series length — recomputed independently in pandas per series."""
+    from mpnsm_spark.functions.tuning import dec_mean
+    from mpnsm_spark.operators.forecast import stepwise_predict
+
+    df = series_df.withColumnsRenamed({"value": "a"}).withColumn(
+        "b", F.col("a") * 0.5 + 1.0
+    )
+    got = stepwise_predict(df, horizon=4, with_debug=True).toPandas()
+    pdf = df.toPandas()
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        sub = got[got.conv_id == conv]
+        assert (sub["mean_a"] == dec_mean(g["a"].to_numpy())).all(), conv
+        assert (sub["a0"] == g["a"].iloc[-1]).all()
+        assert (sub["b0"] == g["b"].iloc[-1]).all()
+        assert (sub["n_train"] == len(g)).all()
+    # debug columns don't perturb the predictions
+    plain = stepwise_predict(df, horizon=4).toPandas()
+    merged = plain.merge(got, on=["conv_id", "step"], suffixes=("", "_dbg"))
+    assert (merged["yhat_a"] == merged["yhat_a_dbg"]).all()
+    assert (merged["yhat_b"] == merged["yhat_b_dbg"]).all()
+
+
+def test_cv_debug_and_interval_debug_columns(spark, series_df):
+    from mpnsm_spark.operators.uncertainty import residual_intervals
+
+    preds = cv_fit_predict(series_df, param=4, with_debug=True)
+    pdf = preds.toPandas()
+    assert (pdf["param"] == 4.0).all()
+    # cutoff is the fold's train length: n - horizon - fold*jump
+    n_by_conv = series_df.toPandas().groupby("conv_id").size()
+    expect = pdf.conv_id.map(n_by_conv) - 10 - pdf["fold"] * 5
+    assert (pdf["cutoff"] == expect).all()
+
+    iv = residual_intervals(preds, keep_debug=True).toPandas()
+    assert {"resid_q_lo", "resid_q_hi"} <= set(iv.columns)
+    # the kept quantiles ARE the interval offsets
+    assert np.allclose(iv["yhat_lo"], iv["yhat"] + iv["resid_q_lo"])
+    assert np.allclose(iv["yhat_hi"], iv["yhat"] + iv["resid_q_hi"])
