@@ -1245,6 +1245,184 @@ FROM best GROUP BY user_id
 """
 
 
+def q_hyperparam_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's heuristic-ladder corner: multiplicative ladder w ∈ 1,2,4,8,16
+    with the reference's two-rung tolerance convergence rule (stop at the
+    first rung that fails to improve WMAPE by min_better; max_worse aborts)
+    and the penultimate-rung fold choice. The oracle replays the WHOLE walk:
+    scores per rung, the stop position via a lag() window, the pre-stop rung,
+    the cross-fold median."""
+    from mpnsm_spark.functions.tuning import MetricSpec, make_ladder, tune_per_series, wmape
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id", "value"
+    )
+    out = tune_per_series(
+        ev,
+        param_grid=make_ladder(1, 16, 2, "multiplicative"),
+        metric_specs=[
+            MetricSpec(wmape, higher_better=False, max_worse=0.02,
+                       min_better=0.002, name="wmape")
+        ],
+        fold_choice="penultimate",
+        n_folds=3,
+        horizon=10,
+        jump=5,
+        min_train=5,
+        order_col=["ts", "event_id"],
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "chosen_param",
+        "folds_used",
+    )
+
+
+# The walk stops at the first rung k>=2 with NOT(s_k <= s_{k-1} - min_better)
+# — for a single lower-better metric the reference's rule reduces to exactly
+# this (an improving rung always continues; a non-improving rung converges
+# whether or not it also breaches max_worse). Never-converging walks stop at
+# the last rung; the fold's winner is the rung BEFORE the stop.
+SQL_HYPERPARAM_LADDER = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), folds AS (
+  SELECT DISTINCT user_id, n, f.fold, n - 10 - f.fold * 5 AS cutoff
+  FROM ordered CROSS JOIN (SELECT unnest(range(3)) AS fold) f
+  WHERE n - 10 - f.fold * 5 >= 5
+), fits AS (
+  SELECT f.user_id, f.fold, f.cutoff, p.w,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS yhat
+  FROM folds f
+  CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS w) p
+  JOIN ordered o ON o.user_id = f.user_id
+       AND o.rn > f.cutoff - p.w AND o.rn <= f.cutoff
+  GROUP BY 1, 2, 3, 4
+), scores AS (
+  SELECT t.user_id, t.fold, t.w,
+         CAST(sum(CAST(abs(o.value - t.yhat) AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(sum(CAST(abs(o.value) AS DECIMAL(20,6))) AS DOUBLE) AS wmape
+  FROM fits t JOIN ordered o ON o.user_id = t.user_id
+       AND o.rn > t.cutoff AND o.rn <= t.cutoff + 10
+  GROUP BY 1, 2, 3
+), walk AS (
+  SELECT user_id, fold, w, wmape,
+         row_number() OVER (PARTITION BY user_id, fold ORDER BY w ASC) AS k,
+         lag(wmape) OVER (PARTITION BY user_id, fold ORDER BY w ASC) AS prev
+  FROM scores
+), stops AS (
+  SELECT user_id, fold,
+         coalesce(
+           min(CASE WHEN k >= 2 AND NOT (wmape <= prev - 0.002) THEN k END),
+           max(k)
+         ) AS stop_k
+  FROM walk GROUP BY 1, 2
+), chosen AS (
+  SELECT w.user_id, w.fold, w.w
+  FROM walk w JOIN stops s ON s.user_id = w.user_id AND s.fold = w.fold
+  WHERE w.k = s.stop_k - 1
+)
+SELECT user_id,
+       quantile_cont(CAST(w AS DOUBLE), 0.5) AS chosen_param,
+       CAST(count(*) AS INT) AS folds_used
+FROM chosen GROUP BY user_id
+"""
+
+
+def q_hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (reference deprecated/
+    hierarchical_models.py BU/OLS/WLSS revisions) over a deterministic
+    two-level forecast set: per-user base forecast = decimal-exact SUM of the
+    user's values + step; independent total = global decimal sum x 1.5 +
+    2*step. Sums (not means) keep every value an exact 6dp decimal that a
+    double represents exactly, so the double->decimal casts inside the
+    reconciliation aggregate identically across engines (a decimal-MEAN base
+    hit one-ulp double->decimal rounding divergence at sf0.01). All three
+    methods emitted; oracle replays the closed forms exactly."""
+    from mpnsm_spark.operators.hierarchy import reconcile_forecasts
+
+    dec_sum = F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+    ev = _t(spark, sf_dir, "events")
+    steps = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
+    bottom = (
+        ev.groupBy("user_id")
+        .agg(dec_sum.alias("m"))
+        .crossJoin(F.broadcast(steps))
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            "step",
+            (F.col("m") + F.col("step")).alias("yhat"),
+        )
+    )
+    total = (
+        ev.agg(dec_sum.alias("gs"))
+        .crossJoin(F.broadcast(steps))
+        .select(
+            "step", (F.col("gs") * 1.5 + 2 * F.col("step")).alias("yhat_total")
+        )
+    )
+    parts = []
+    for m in ("bu", "ols", "wlss"):
+        parts.append(
+            reconcile_forecasts(bottom, total, method=m)
+            .withColumn("method", F.lit(m))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "step",
+        "method",
+        "yhat",
+        "yhat_rec",
+        "yhat_total_rec",
+    )
+
+
+SQL_HIERARCHY = """
+WITH bottom_base AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS m
+  FROM events GROUP BY user_id
+), steps AS (
+  SELECT CAST(unnest([1, 2, 3]) AS INT) AS step
+), bottom AS (
+  SELECT b.user_id, s.step, b.m + s.step AS yhat
+  FROM bottom_base b CROSS JOIN steps s
+), total AS (
+  SELECT s.step,
+         (SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) FROM events)
+           * 1.5 + 2 * s.step AS yhat_total
+  FROM steps s
+), agg AS (
+  SELECT step, count(*) AS k,
+         CAST(sum(CAST(yhat AS DECIMAL(20,6))) AS DOUBLE) AS s
+  FROM bottom GROUP BY step
+), joined AS (
+  SELECT b.user_id, b.step, b.yhat, a.k, a.s, t.yhat_total,
+         t.yhat_total - a.s AS d
+  FROM bottom b JOIN agg a USING (step) JOIN total t USING (step)
+), methods AS (
+  SELECT 'bu' AS method, user_id, step, yhat,
+         yhat AS yhat_rec, s AS yhat_total_rec
+  FROM joined
+  UNION ALL
+  SELECT 'ols', user_id, step, yhat,
+         yhat + d / (k + 1), s + k * (d / (k + 1))
+  FROM joined
+  UNION ALL
+  SELECT 'wlss', user_id, step, yhat,
+         yhat + d / (2 * k), s + k * (d / (2 * k))
+  FROM joined
+)
+SELECT user_id, step, method, yhat, yhat_rec, yhat_total_rec FROM methods
+"""
+
+
 def _planted_corpus_spark(emb: DataFrame) -> DataFrame:
     """Corpus ∪ deterministic near-dup copies of vec_id<10 (v' = 0.9v+0.01)."""
     base = emb.select(
@@ -1589,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_units": q_semi_join_units,
         "intervals_coverage": q_intervals_coverage,
         "hyperparam_cv": q_hyperparam_cv,
+        "hyperparam_ladder": q_hyperparam_ladder,
+        "hierarchy_reconcile": q_hierarchy_reconcile,
         "signlsh_near_dups": q_signlsh_near_dups,
         "stepwise_predict": q_stepwise_predict,
     }
@@ -1634,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_units": SQL_SEMI_JOIN,
         "intervals_coverage": SQL_INTERVALS,
         "hyperparam_cv": SQL_HYPERPARAM,
+        "hyperparam_ladder": SQL_HYPERPARAM_LADDER,
+        "hierarchy_reconcile": SQL_HIERARCHY,
         "signlsh_near_dups": _sql_signlsh(),
         "stepwise_predict": SQL_STEPWISE,
     }

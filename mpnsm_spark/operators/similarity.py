@@ -89,20 +89,25 @@ def sample_centroids(
     size-n heap merged on the driver — O(rows) scan, no global sort, so it is
     safe at corpus scale (every deterministic exact pick must scan once).
     """
-    return (
+    picked = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_centroids)
-        .select(
-            # partitionBy(lit) keeps the single-partition semantics (n rows
-            # post-limit) but gives the window an explicit partition spec so
-            # WindowExec's "No Partition Defined" warning can't fire through
-            # every ivf_topk run and drown real warnings.
-            F.row_number()
-            .over(Window.partitionBy(F.lit(0)).orderBy(F.col(id_col)))
-            .alias("centroid_id"),
-            F.col(vec_col).alias("centroid"),
-        )
+    )
+    # Number the n picked rows WITHOUT a window: a global row_number over n
+    # post-limit rows is semantically a single-partition window, and
+    # WindowExec warns "No Partition Defined" on it (a constant partitionBy
+    # folds away, so it warns too) — noise that hides real regressions in
+    # bench logs. collect_list -> array_sort -> posexplode gives the same
+    # (id-ascending) numbering as one tiny aggregate.
+    arr = picked.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("pos", "s")).select(
+        (F.col("pos") + 1).alias("centroid_id"),
+        F.col("s.v").alias("centroid"),
     )
 
 

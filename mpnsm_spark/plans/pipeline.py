@@ -60,7 +60,7 @@ from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpnsm_spark import TIERS
@@ -300,10 +300,16 @@ def _lineage_df(
     per_bucket_stats: DataFrame,
     wall_seconds: float,
     version: int,
+    n_buckets: int = 1,
 ) -> DataFrame:
     """Lineage rows as a LAZY select over the per-bucket stats frame, so the
-    lineage append is ONE Spark job (no driver collect / re-create)."""
-    n_buckets = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    lineage append is ONE Spark job (no driver collect / re-create).
+
+    ``n_buckets`` (the wave's bucket count, known driver-side) apportions the
+    stage wall across rows — previously a global count() window, which fired
+    WindowExec's no-partition warning through every stage and moved the
+    (tiny) stats frame to one partition for no reason."""
+    n_buckets = F.lit(max(int(n_buckets), 1))
     return per_bucket_stats.select(
         F.lit(cfg.run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
@@ -763,7 +769,9 @@ def run_pipeline(
                 F.col("id").cast("int").alias("bucket_id")
             ).filter(F.col("bucket_id").isin([int(b) for b in wave]))
             stats = all_ids.join(stats, "bucket_id", "left").na.fill(0)
-            lineage = _lineage_df(cfg, stage, stats, time.time() - t0, version)
+            lineage = _lineage_df(
+                cfg, stage, stats, time.time() - t0, version, n_buckets=len(wave)
+            )
             # Lineage commits AFTER the data (crash between them only re-runs
             # the bucket) but OFF the critical path: dependents need the data,
             # not the lineage row.
@@ -957,7 +965,7 @@ def run_pipeline(
             F.lit(total_rows).cast("long").alias("input_rows"),
         )
         lineage = _lineage_df(
-            cfg, "retention", stats_df, time.time() - t0, version
+            cfg, "retention", stats_df, time.time() - t0, version, n_buckets=1
         )
         submit_async(lambda ln=lineage: io.append(ln.coalesce(1), LINEAGE_TABLE))
         with lock:

@@ -200,3 +200,65 @@ def test_streaming_rollup_out_of_order_arrival(spark):
         got = run_stream_to_memory(spark, wv(stream), "t1m_stream_test2").toPandas()
     want = batch_equivalent(raw).toPandas()  # vocab-less fallback path
     compare_frames(got, want, ["conv_id", "bucket_start"], float_cols=FLOATS)
+
+
+def test_streaming_gapfill_locf_equals_batch_anchored(spark, tmp_path):
+    """Stateful streaming LOCF (applyInPandasWithState) == batch
+    gapfill_anchored on (conv_id, bucket_start, is_gap, value_locf), with
+    anchors split across MULTIPLE micro-batches so gap state genuinely
+    crosses batch boundaries."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mpnsm_spark.operators.gapfill import gapfill_anchored
+    from mpnsm_spark.streaming.gapfill_stream import run_gapfill_stream_to_memory
+
+    rows = []
+    for conv in ("a", "b"):
+        # anchors with holes: 00:00, 03:00, 04:00, 09:00 (1h tier)
+        for hour, val in ((0, 1.0), (3, 4.0), (4, 5.0), (9, 10.0)):
+            rows.append((conv, f"2025-01-01 {hour:02d}:00:00", val + (conv == "b")))
+    tier_pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_start", "value_avg"])
+
+    src_dir = str(tmp_path / "tier_src")
+    os.makedirs(src_dir)
+    batch_df = spark.createDataFrame(tier_pdf).withColumn(
+        "bucket_start", F.to_timestamp("bucket_start")
+    )
+    # three time-sliced files -> three micro-batches (maxFilesPerTrigger=1);
+    # mtimes staggered so the file source lists them in event-time order
+    for i, cut in enumerate([(0, 1), (3, 5), (9, 10)]):
+        part = batch_df.filter(
+            (F.hour("bucket_start") >= cut[0]) & (F.hour("bucket_start") < cut[1])
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b{i}")
+        _time.sleep(0.05)
+        for root, _d, files in os.walk(f"{src_dir}/b{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (1e9 + i, 1e9 + i))
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    got = (
+        run_gapfill_stream_to_memory(spark, stream, tier="1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        gapfill_anchored(batch_df, "1h")
+        .select("conv_id", "bucket_start", "is_gap", "value_locf")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 20  # 10 buckets x 2 convs
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # gaps genuinely crossed micro-batch boundaries (state carried 04:00->09:00)
+    assert int(got["is_gap"].sum()) == 12

@@ -375,3 +375,43 @@ def test_cv_debug_and_interval_debug_columns(spark, series_df):
     # the kept quantiles ARE the interval offsets
     assert np.allclose(iv["yhat_lo"], iv["yhat"] + iv["resid_q_lo"])
     assert np.allclose(iv["yhat_hi"], iv["yhat"] + iv["resid_q_hi"])
+
+
+def test_hierarchy_reconciliation_closed_forms(spark):
+    """BU/OLS/WLSS revisions equal the projection S(S'W^-1 S)^-1 S'W^-1 y
+    computed with numpy for the 2-level hierarchy, and reconciled outputs
+    are coherent (total == sum of revised bottom)."""
+    from mpnsm_spark.operators.hierarchy import reconcile_forecasts
+
+    k = 4
+    yb = np.array([10.0, 20.0, 30.0, 40.0])
+    yT = 110.0  # discrepancy d = 10
+    bottom = spark.createDataFrame(
+        [(f"s{i}", 1, float(v)) for i, v in enumerate(yb)],
+        "conv_id string, step int, yhat double",
+    )
+    total = spark.createDataFrame([(1, yT)], "step int, yhat_total double")
+
+    # numpy oracle via the full projection
+    S = np.vstack([np.ones(k), np.eye(k)])          # (k+1) x k
+    y = np.concatenate([[yT], yb])
+    for method, Winv in (
+        ("ols", np.eye(k + 1)),
+        ("wlss", np.diag([1.0 / k] + [1.0] * k)),
+    ):
+        beta = np.linalg.solve(S.T @ Winv @ S, S.T @ Winv @ y)
+        got = (
+            reconcile_forecasts(bottom, total, method=method)
+            .toPandas()
+            .sort_values("conv_id")
+        )
+        assert np.allclose(got["yhat_rec"].to_numpy(), beta, atol=1e-9), method
+        assert np.allclose(got["yhat_total_rec"].to_numpy(), beta.sum()), method
+        # coherence: revised total == sum of revised bottoms
+        assert np.allclose(got["yhat_rec"].sum(), got["yhat_total_rec"].iloc[0])
+    bu = reconcile_forecasts(bottom, total, method="bu").toPandas()
+    bu = bu.sort_values("conv_id")
+    assert (bu["yhat_rec"].to_numpy() == yb).all()
+    assert np.allclose(bu["yhat_total_rec"].to_numpy(), yb.sum())
+    with pytest.raises(ValueError):
+        reconcile_forecasts(bottom, total, method="mint")
