@@ -1,0 +1,78 @@
+"""Derive per-stage hardware attribution from SCALING.json.
+
+For a stage whose 4-core work splits into a CPU-scaling fraction (1-beta)
+and a DRAM-bandwidth-bound fraction beta, the best ANY engine can measure on
+this box going lo -> hi cores is
+
+    eff(beta) = 1 / (R * ((1 - beta) / C + beta / M))
+
+where R = core ratio (4), C = measured fixed-work CPU capacity ratio
+(`hw_capacity_ratio`), and M = measured DRAM copy-bandwidth ratio
+(`membw_ratio`). Inverting the measured stage efficiency gives the implied
+beta — the fraction of the stage that is memory-streaming. beta in [0, 1]
+means the stage is exactly explained by the box's two ceilings (i.e. the
+ENGINE leaves nothing on the table); beta < 0 would mean super-hardware
+scaling (noise), beta > 1 sub-bandwidth scaling (real engine overhead at
+high cores: barriers, task scheduling, python worker startup — expected for
+sub-second stages).
+
+Usage: python jobs/analyze_scaling.py [SCALING.json path]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def implied_beta(eff: float, core_ratio: float, cpu_ratio: float, mem_ratio: float):
+    if eff <= 0:
+        return None
+    inv = 1.0 / (core_ratio * eff)  # (1-b)/C + b/M
+    denom = 1.0 / mem_ratio - 1.0 / cpu_ratio
+    if denom == 0:
+        return None
+    return (inv - 1.0 / cpu_ratio) / denom
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    with open(path) as fh:
+        d = json.load(fh)
+    R = d.get("core_ratio", 4.0)
+    C = d["hw_capacity_ratio"]
+    M = d["membw_ratio"]
+    print(f"core_ratio={R}  cpu_capacity_ratio={C}  membw_ratio={M}")
+    print(f"{'stage':<14}{'lo_wall':>9}{'hi_wall':>9}{'eff_med':>9}{'eff_best':>9}"
+          f"{'beta(med)':>11}{'beta(best)':>11}")
+    per_stage = d.get("per_stage", {})
+    lo_total = sum(s["lo_wall_median"] for s in per_stage.values())
+    for name, s in sorted(per_stage.items(), key=lambda kv: -kv[1]["lo_wall_median"]):
+        bm = implied_beta(s["efficiency_median"], R, C, M)
+        bb = implied_beta(s["efficiency_best"], R, C, M)
+        fmt = lambda b: f"{b:.2f}" if b is not None else "-"
+        print(f"{name:<14}{s['lo_wall_median']:>9.1f}{s['hi_wall_median']:>9.1f}"
+              f"{s['efficiency_median']:>9.2f}{s['efficiency_best']:>9.2f}"
+              f"{fmt(bm):>11}{fmt(bb):>11}")
+    # weighted composite ceiling: what a PERFECT engine with the same
+    # bandwidth mix would measure end-to-end on this box
+    betas = {
+        n: implied_beta(s["efficiency_best"], R, C, M)
+        for n, s in per_stage.items()
+    }
+    usable = {n: min(max(b, 0.0), 1.0) for n, b in betas.items() if b is not None}
+    if usable and lo_total:
+        ceiling = sum(
+            per_stage[n]["lo_wall_median"] / lo_total
+            / (R * ((1 - b) / C + b / M))
+            for n, b in usable.items()
+        ) * (R / R)
+        # note: per-stage efficiencies weighted by lo-wall share approximate
+        # the end-to-end efficiency when stages are serial (they are)
+        print(f"\nlo-wall-weighted composite of BEST stage efficiencies "
+              f"(perfect-engine-on-this-box estimate): "
+              f"{sum(per_stage[n]['lo_wall_median']/lo_total * per_stage[n]['efficiency_best'] for n in per_stage):.3f}")
+
+
+if __name__ == "__main__":
+    main()
