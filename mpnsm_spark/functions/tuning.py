@@ -62,7 +62,11 @@ METRICS: dict[str, Callable] = {"wmape": wmape}
 
 
 def make_ladder(
-    initial: float, final: float, step: float, mode: str = "additive"
+    initial: float,
+    final: float,
+    step: float,
+    mode: str = "additive",
+    max_rungs: int = 10_000,
 ) -> list[float]:
     """Generate the heuristic search ladder from a base value (reference
     ``hyperparameter_tuning.py:201-225``).
@@ -83,6 +87,12 @@ def make_ladder(
     if mode == "additive":
         if step <= 0:
             raise ValueError("additive ladder needs step > 0")
+        if abs(final - initial) / step > max_rungs:
+            raise ValueError(
+                f"additive ladder would have >{max_rungs} rungs "
+                f"({initial}..{final} step {step}); a per-fold fit runs per "
+                "rung — this is a misconfiguration, not a search"
+            )
         sgn = 1.0 if final >= initial else -1.0
         return [float(v) for v in np.arange(initial, final, sgn * step)]
     if mode != "multiplicative":
@@ -92,9 +102,13 @@ def make_ladder(
     out = [float(initial)]
     if final >= initial:
         while out[-1] < final:
+            if len(out) > max_rungs:
+                raise ValueError(f"multiplicative ladder exceeds {max_rungs} rungs")
             out.append(out[-1] * step)
     else:
         while out[-1] > final:
+            if len(out) > max_rungs:
+                raise ValueError(f"multiplicative ladder exceeds {max_rungs} rungs")
             out.append(out[-1] / step)
     return out
 
