@@ -161,6 +161,11 @@ class KernelStage:
     output_schema: str
     source: str = "1m"
     order_col: str = "bucket_start"
+    # Sub-split conversations above this many rows into bounded ranges so a
+    # hot conversation cannot stall one executor slot (skew.py contract:
+    # only safe when downstream re-merge of the kernel's output is
+    # associative). None = one group per conversation.
+    split_threshold: int | None = None
 
 
 @dataclass
@@ -545,6 +550,16 @@ def run_kernel_stage(
     out_cols = [c.strip().rsplit(" ", 1)[0].strip().split()[0] for c in stage.output_schema.split(",")]
     aug_schema = stage.output_schema + ", _status string, _error string"
     fn, order_col = stage.fn, stage.order_col
+    if stage.split_threshold is not None:
+        from mpnsm_spark.operators.skew import with_sub_splits
+
+        salted = with_sub_splits(
+            salted.drop("bucket_id"),
+            stage.split_threshold,
+            key=key,
+            order_col=order_col,
+        )
+        salted = with_salt(salted, cfg.num_buckets, key=key)
 
     def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
         from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
@@ -564,9 +579,10 @@ def run_kernel_stage(
             marker["_error"] = [type(e).__name__]
             return pd.DataFrame(marker)
 
+    group_keys = [key] + (["sub_id"] if stage.split_threshold is not None else [])
     out = (
         salted.drop("bucket_id")
-        .groupBy(key)
+        .groupBy(*group_keys)
         .applyInPandas(wrapped, aug_schema)
     )
     out = with_salt(out, cfg.num_buckets, key=key).persist()

@@ -542,16 +542,19 @@ def run_standalone_mode(args, tmp: str, bronze: str) -> None:
               f"({r['turns_per_sec']} turns/s)", flush=True)
         return r
 
+    def probe_window() -> tuple[bool, float]:
+        lo_cap = capacity_quick(4)
+        hi_cap = capacity_quick(16)
+        ratio = round(hi_cap / lo_cap, 3)
+        return args.cert_frac * 4 <= ratio <= 1.05 * 4, ratio
+
     pairs = []
     parity_runs = []
     for rep in range(args.repeats):
         cert, cap_ratio = False, 0.0
         for _attempt in range(args.cert_attempts):
             wait_quiet()
-            lo_cap = capacity_quick(4)
-            hi_cap = capacity_quick(16)
-            cap_ratio = round(hi_cap / lo_cap, 3)
-            cert = cap_ratio >= args.cert_frac * 4
+            cert, cap_ratio = probe_window()
             print(f"standalone pair {rep} window: capacity_ratio={cap_ratio} "
                   f"certified={cert}", flush=True)
             if cert:
@@ -559,6 +562,7 @@ def run_standalone_mode(args, tmp: str, bronze: str) -> None:
             time.sleep(15)
         hi_r = run_topology(topo_hi, 4, f"hi_p{rep}")
         lo_r = run_topology(topo_lo, 4, f"lo_p{rep}")
+        post_cert, post_ratio = probe_window()
         eff = (hi_r["turns_per_sec"] / lo_r["turns_per_sec"]) / 4
         pairs.append(
             {
@@ -566,10 +570,15 @@ def run_standalone_mode(args, tmp: str, bronze: str) -> None:
                 "hi": hi_r,
                 "efficiency": round(eff, 3),
                 "window_capacity_ratio": cap_ratio,
-                "window_certified": cert,
+                "post_capacity_ratio": post_ratio,
+                "window_certified": cert and post_cert,
             }
         )
-        print(f"standalone pair {rep}: efficiency={eff:.3f}", flush=True)
+        print(
+            f"standalone pair {rep}: efficiency={eff:.3f} "
+            f"post_ratio={post_ratio} certified={cert and post_cert}",
+            flush=True,
+        )
         if rep == 0:
             parity_runs.append(run_topology(topo_one, 16, f"one16_p{rep}"))
 
@@ -695,11 +704,15 @@ def main() -> None:
 
         def certify_window() -> tuple[bool, float]:
             """Accept a pair slot only when the box is currently delivering
-            near-linear CPU capacity from lo→hi cores (see capacity_quick)."""
+            near-linear CPU capacity from lo→hi cores (see capacity_quick).
+            Ratios ABOVE ~linear are rejected too: a >R reading is physically
+            impossible for fixed work and means the probe itself straddled a
+            regime shift — the window is unstable, not fast."""
             lo_cap = capacity_quick(args.cores[0])
             hi_cap = capacity_quick(args.cores[1])
             ratio = hi_cap / lo_cap
-            return ratio >= args.cert_frac * core_ratio_req, round(ratio, 3)
+            ok = args.cert_frac * core_ratio_req <= ratio <= 1.05 * core_ratio_req
+            return ok, round(ratio, 3)
 
         pairs = []
         for rep in range(args.repeats):
@@ -720,6 +733,11 @@ def main() -> None:
             # window is freshest right after the probe.
             hi_r = run_child(args.cores[1], f"p{rep}")
             lo_r = run_child(args.cores[0], f"p{rep}")
+            # Re-probe AFTER the pair: a pair is only certified when the
+            # regime held across it (pre- and post-probe both in band) — the
+            # round-2/3 data shows regimes shifting MID-pair often enough
+            # that a pre-probe alone certifies poisoned pairs.
+            post_cert, post_ratio = certify_window()
             eff = (
                 hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
             ) / core_ratio_req
@@ -729,10 +747,14 @@ def main() -> None:
                     "hi": hi_r,
                     "efficiency": round(eff, 3),
                     "window_capacity_ratio": cap_ratio,
-                    "window_certified": cert,
+                    "post_capacity_ratio": post_ratio,
+                    "window_certified": cert and post_cert,
                 }
             )
-            print(f"pair {rep}: efficiency={eff:.3f}", flush=True)
+            print(
+                f"pair {rep}: efficiency={eff:.3f} post_ratio={post_ratio} "
+                f"certified={cert and post_cert}", flush=True,
+            )
 
         best_lo = min((p["lo"] for p in pairs), key=lambda r: r["wall_seconds"])
         best_hi = min((p["hi"] for p in pairs), key=lambda r: r["wall_seconds"])

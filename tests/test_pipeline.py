@@ -293,3 +293,38 @@ def test_kernel_stage_error_lineage_and_resume(spark, transcripts, tmp_path):
     n_convs = transcripts.select("conv_id").distinct().count()
     assert stored.select("conv_id").distinct().count() == n_convs
     assert stored.count() == n_convs
+
+
+def test_kernel_stage_sub_splits_hot_conversations(spark, transcripts, tmp_path):
+    """split_threshold bounds every kernel group; per-sub partial outputs
+    re-merge associatively to the unsplit result."""
+    from mpnsm_spark.plans.pipeline import KernelStage, run_kernel_stage
+
+    def kernel(pdf):
+        return pdf.groupby("conv_id", as_index=False).agg(n=("turn_idx", "count"))
+
+    def stage(name, thr):
+        return KernelStage(
+            name=name,
+            fn=kernel,
+            output_schema="conv_id string, n long",
+            source="norm",
+            order_col="turn_idx",
+            split_threshold=thr,
+        )
+
+    io = TableIO(str(tmp_path / "whs"))
+    norm = normalize(transcripts, 4)
+    r_split = run_kernel_stage(spark, io, stage("counts_split", 50), norm)
+    assert r_split["buckets_error"] == {}
+    split_out = (
+        io.read(spark, "counts_split").groupBy("conv_id").agg(F.sum("n").alias("n"))
+    ).toPandas().set_index("conv_id")["n"]
+    want = (
+        norm.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    )
+    assert split_out.sort_index().equals(want.sort_index().astype(split_out.dtype))
+    # groups were genuinely bounded: at least one conversation got split
+    assert io.read(spark, "counts_split").groupBy("conv_id").count().filter(
+        "count > 1"
+    ).count() > 0
