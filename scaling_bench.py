@@ -562,6 +562,7 @@ def run_standalone_mode(args, tmp: str, bronze: str) -> None:
             time.sleep(15)
         hi_r = run_topology(topo_hi, 4, f"hi_p{rep}")
         lo_r = run_topology(topo_lo, 4, f"lo_p{rep}")
+        wait_quiet(max_wait_s=120)
         post_cert, post_ratio = probe_window()
         eff = (hi_r["turns_per_sec"] / lo_r["turns_per_sec"]) / 4
         pairs.append(
@@ -736,7 +737,11 @@ def main() -> None:
             # Re-probe AFTER the pair: a pair is only certified when the
             # regime held across it (pre- and post-probe both in band) — the
             # round-2/3 data shows regimes shifting MID-pair often enough
-            # that a pre-probe alone certifies poisoned pairs.
+            # that a pre-probe alone certifies poisoned pairs. The quiet-wait
+            # matters: probing in the immediate aftermath of the child JVM's
+            # exit reads teardown noise (~2.6 ratios right after every pair),
+            # not the regime.
+            wait_quiet(max_wait_s=120)
             post_cert, post_ratio = certify_window()
             eff = (
                 hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
