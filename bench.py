@@ -53,12 +53,16 @@ def main() -> None:
     )
     queries: dict[str, float] = {}
 
-    # Untimed warmup: the session's FIRST job pays one-time costs (output
-    # committer init, JIT, codegen warm) that previously landed entirely on
-    # whichever query ran first (~5-6s attributed to tier_1m_rollup).
+    # Untimed warmup: the session's FIRST jobs pay one-time costs (parquet
+    # datasource + output committer init, JIT, codegen warm) that previously
+    # landed entirely on whichever query ran first (~5-6s attributed to
+    # tier_1m_rollup; the query itself re-measures at ~1s).
     spark.range(100_000).selectExpr("sum(id) as s").write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).selectExpr(
+        "count(*) as c"
+    ).write.format("noop").mode("overwrite").save()
 
     for name, fn in em.queries().items():
         t0 = time.time()
