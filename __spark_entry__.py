@@ -1667,6 +1667,84 @@ SELECT query_id, rank, neighbor_id, score FROM (
 ) WHERE rank <= 5
 """
 
+def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one Lloyd refinement iteration, fully SQL-replayable: the
+    refined centroid means use floor(v * 2^20) integer sums (exact binary
+    arithmetic — engine- and summation-order-independent), assignment and
+    scoring use the same 6dp-rounded cosine as ivf_topk."""
+    from mpnsm_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        refine_centroids,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents0 = sample_centroids(emb, n_centroids=16)
+    cents1 = refine_centroids(emb, cents0, n_iters=1, quantize_bits=20)
+    index = ivf_index(emb, cents1)
+    return ivf_search(index, cents1, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4)
+
+
+# dim=64 is the embeddings table's fixed dimension (TESTDATA.md).
+SQL_IVF_REFINED = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)
+), assign0 AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+         {_SQL_COS.format(a="e.embedding::DOUBLE[]", b="c.cvec")} AS s
+  FROM embeddings e CROSS JOIN cent c
+), buckets0 AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+), comp AS (
+  SELECT b.bucket, idx.i AS pos,
+         sum(CAST(floor(b.v[idx.i + 1] * 1048576.0) AS BIGINT)) AS su,
+         count(*) AS n
+  FROM buckets0 b CROSS JOIN (SELECT unnest(range(64)) AS i) idx
+  GROUP BY 1, 2
+), cent1 AS (
+  SELECT c0.centroid_id,
+         coalesce(m.centroid, c0.cvec) AS cvec
+  FROM cent c0 LEFT JOIN (
+    SELECT bucket AS centroid_id,
+           list(CAST(su AS DOUBLE) / (n * 1048576.0) ORDER BY pos) AS centroid
+    FROM comp GROUP BY bucket
+  ) m USING (centroid_id)
+), assign1 AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+         {_SQL_COS.format(a="e.embedding::DOUBLE[]", b="c.cvec")} AS s
+  FROM embeddings e CROSS JOIN cent1 c
+), buckets1 AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM assign1
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS q_vec, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM assign1 WHERE vec_id < 5
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="p.q_vec", b="b.v")} AS score
+  FROM buckets1 b JOIN probes p ON b.bucket = p.bucket
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
 SQL_CHANGEPOINTS = """
 WITH RECURSIVE t1h AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id, date_trunc('hour', ts) AS bucket_start,
@@ -1760,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_buckets": q_simhash_buckets,
         "ivf_topk": q_ivf_topk,
+        "ivf_refined_topk": q_ivf_refined_topk,
         "media_features": q_media_features,
         "rolling_median": q_rolling_median,
         "rolling_caps": q_rolling_caps,
@@ -1807,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _sql_minhash(),
         "simhash_buckets": _sql_simhash(),
         "ivf_topk": SQL_IVF_TOPK,
+        "ivf_refined_topk": SQL_IVF_REFINED,
         "media_features": SQL_MEDIA_FEATURES,
         "rolling_median": SQL_ROLLING_MEDIAN,
         "rolling_caps": SQL_ROLLING_CAPS,

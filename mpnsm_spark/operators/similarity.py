@@ -160,6 +160,7 @@ def refine_centroids(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the sampled centroids: assign → mean per
     bucket → new centroids. The query path (``ivf_index``/``ivf_search``) is
@@ -171,14 +172,42 @@ def refine_centroids(
     ``groupBy(bucket, pos)`` — partial aggregation reduces each task to
     k×dim rows before the shuffle, so the exchanged volume is centroid-sized,
     not corpus-sized. Empty buckets keep their previous centroid.
+
+    ``quantize_bits``: compute each mean over ``floor(v · 2^bits)`` integer
+    sums instead of float avg — every operation (power-of-two multiply,
+    floor, integer sum, one final division) is exact binary arithmetic, so
+    the refined centroids are bit-identical across engines/summation orders
+    (the cross-engine-oracle mode; float avg is summation-order dependent).
+    At 20 bits the quantization error per component is < 1e-6 — far below
+    the 6dp score rounding the search uses.
     """
     for _ in range(n_iters):
         assigned = ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        exploded = assigned.select(
+            "bucket", F.posexplode(vec_col).alias("pos", "val")
+        )
+        if quantize_bits is None:
+            per_pos = exploded.groupBy("bucket", "pos").agg(
+                F.avg(F.col("val").cast("double")).alias("m")
+            )
+        else:
+            scale = float(1 << quantize_bits)
+            per_pos = (
+                exploded.groupBy("bucket", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * F.lit(scale))
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    "bucket",
+                    "pos",
+                    (F.col("s").cast("double") / (F.col("n") * F.lit(scale))).alias("m"),
+                )
+            )
         means = (
-            assigned.select("bucket", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("bucket", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("bucket")
+            per_pos.groupBy("bucket")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
