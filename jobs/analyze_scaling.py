@@ -62,14 +62,18 @@ def main() -> None:
     }
     usable = {n: min(max(b, 0.0), 1.0) for n, b in betas.items() if b is not None}
     if usable and lo_total:
-        ceiling = sum(
+        # Two composites, both printed (ADVICE r3: the beta-derived one was
+        # computed but never shown). Per-stage efficiencies weighted by
+        # lo-wall share approximate end-to-end efficiency when stages are
+        # serial (they are).
+        beta_ceiling = sum(
             per_stage[n]["lo_wall_median"] / lo_total
             / (R * ((1 - b) / C + b / M))
             for n, b in usable.items()
-        ) * (R / R)
-        # note: per-stage efficiencies weighted by lo-wall share approximate
-        # the end-to-end efficiency when stages are serial (they are)
-        print(f"\nlo-wall-weighted composite of BEST stage efficiencies "
+        )
+        print(f"\nbeta-model composite ceiling (perfect engine, measured "
+              f"CPU/membw mix): {beta_ceiling:.3f}")
+        print(f"lo-wall-weighted composite of BEST stage efficiencies "
               f"(perfect-engine-on-this-box estimate): "
               f"{sum(per_stage[n]['lo_wall_median']/lo_total * per_stage[n]['efficiency_best'] for n in per_stage):.3f}")
 

@@ -94,7 +94,19 @@ def make_ladder(
                 "rung — this is a misconfiguration, not a search"
             )
         sgn = 1.0 if final >= initial else -1.0
-        return [float(v) for v in np.arange(initial, final, sgn * step)]
+        # Generate by integer index, not np.arange: arange's float
+        # accumulation can land EXACTLY on `final` (e.g. 0.1..0.4 step 0.1
+        # emits 0.4), violating the documented exclusive upper bound
+        # (ADVICE r3). n = count of i with i*step strictly inside the span,
+        # with a relative eps so "lands on final within float error" counts
+        # as reaching it, and a final belt-and-braces filter for any rung
+        # within eps of `final`.
+        span = abs(final - initial)
+        q = span / step
+        n = int(np.ceil(q - 1e-9 * max(1.0, q)))
+        veps = 1e-9 * max(1.0, span, abs(final))
+        vals = [float(initial + i * sgn * step) for i in range(max(n, 0))]
+        return [v for v in vals if abs(v - final) > veps]
     if mode != "multiplicative":
         raise ValueError(f"mode must be additive|multiplicative, got {mode!r}")
     if step <= 1 or initial == 0 or final == 0:

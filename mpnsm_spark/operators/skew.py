@@ -53,28 +53,52 @@ def with_sub_splits(
     Cold conversations get sub_id=0 (single group, no behavior change). The
     size pre-pass result is broadcast — it is tiny (one row per conversation
     above threshold).
+
+    For a NUMERIC ``order_col`` (the dense 0-based ``turn_idx``) the sub-range
+    is ``order_col // threshold`` — a pure map-side projection. For any other
+    type (e.g. the tier tables' ``bucket_start`` timestamp — ADVICE r3:
+    dividing a timestamp raises DATATYPE_MISMATCH at analysis) a per-key rank
+    window computes the dense index; the window runs over the HOT rows only,
+    so its sort cost is bounded by the (few, by definition) hot conversations
+    and cold rows stay on the map-only path.
     """
     hot = (
         conv_sizes(df, key)
         .filter(F.col("n_turns") > split_threshold)
         .select(key, F.lit(True).alias("_is_hot"))
     )
-    return (
-        df.join(F.broadcast(hot), key, "left")
-        .withColumn(
+    joined = df.join(F.broadcast(hot), key, "left")
+    numeric_types = {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype in numeric_types or dtype.startswith("decimal"):
+        return joined.withColumn(
             "sub_id",
             F.when(
                 F.col("_is_hot").isNotNull(),
                 (F.col(order_col) / F.lit(split_threshold)).cast("long"),
             ).otherwise(F.lit(0)),
-        )
-        .drop("_is_hot")
+        ).drop("_is_hot")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    cold = joined.filter(F.col("_is_hot").isNull()).withColumn(
+        "sub_id", F.lit(0).cast("long")
     )
+    hot_rows = joined.filter(F.col("_is_hot").isNotNull()).withColumn(
+        "sub_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(split_threshold)).cast("long"),
+    )
+    return cold.unionByName(hot_rows).drop("_is_hot")
 
 
 def _schema_column_names(output_schema) -> list[str]:
+    # Parse DDL strings with the real parser: naive comma-splitting breaks on
+    # types that contain commas — decimal(20,6), map<string,int>, struct<...>
+    # (ADVICE r3).
     if isinstance(output_schema, str):
-        return [f.strip().split()[0] for f in output_schema.split(",")]
+        from pyspark.sql.types import StructType
+
+        return StructType.fromDDL(output_schema).fieldNames()
     return [f.name for f in output_schema.fields]
 
 

@@ -547,7 +547,12 @@ def run_kernel_stage(
     salted = src if "bucket_id" in src.columns else with_salt(src, cfg.num_buckets, key=key)
     if len(remaining) < cfg.num_buckets:
         salted = salted.filter(F.col("bucket_id").isin([int(b) for b in remaining]))
-    out_cols = [c.strip().rsplit(" ", 1)[0].strip().split()[0] for c in stage.output_schema.split(",")]
+    # Real DDL parse — comma-splitting breaks on decimal(20,6)/map/struct
+    # types and then the error-isolation marker frame itself mismatches the
+    # schema (ADVICE r3).
+    from mpnsm_spark.operators.skew import _schema_column_names
+
+    out_cols = _schema_column_names(stage.output_schema)
     aug_schema = stage.output_schema + ", _status string, _error string"
     fn, order_col = stage.fn, stage.order_col
     if stage.split_threshold is not None:

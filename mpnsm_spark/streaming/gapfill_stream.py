@@ -108,7 +108,15 @@ def streaming_gapfill_locf(
             out["is_gap"].append(gap)
             out["value_locf"].append(val)
 
-        for pdf in pdfs:
+        # Concatenate ALL Arrow chunks before sorting: chunks of one group
+        # arrive in arbitrary order, so sorting each independently lets a
+        # later chunk carry earlier epochs that the LOCF walk would then
+        # misclassify as late pass-throughs and skip gap emission for
+        # (ADVICE r3). Group deltas per micro-batch are small, so one concat
+        # is bounded memory.
+        frames = list(pdfs)
+        if frames:
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             pdf = pdf.sort_values("bucket_start")
             epochs = (
                 pdf["bucket_start"].astype("datetime64[s]").astype("int64").to_numpy()

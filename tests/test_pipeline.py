@@ -328,3 +328,39 @@ def test_kernel_stage_sub_splits_hot_conversations(spark, transcripts, tmp_path)
     assert io.read(spark, "counts_split").groupBy("conv_id").count().filter(
         "count > 1"
     ).count() > 0
+
+
+def test_kernel_stage_split_with_bucket_start_default(spark, transcripts, tmp_path):
+    """split_threshold must work with the dataclass's own default
+    order_col='bucket_start' (a timestamp) on a tier-shaped source —
+    previously an AnalysisException at plan time (ADVICE r3)."""
+    from mpnsm_spark.operators.rollup import rollup_raw
+    from mpnsm_spark.plans.pipeline import KernelStage, run_kernel_stage
+
+    def kernel(pdf):
+        return pdf.groupby("conv_id", as_index=False).agg(
+            n=("bucket_start", "count")
+        )
+
+    stage = KernelStage(
+        name="tier_counts_split",
+        fn=kernel,
+        output_schema="conv_id string, n long",
+        source="1m",
+        split_threshold=25,  # order_col left at the 'bucket_start' default
+    )
+    io = TableIO(str(tmp_path / "whts"))
+    tier = rollup_raw(normalize(transcripts, 4), "1m")
+    r = run_kernel_stage(spark, io, stage, tier)
+    assert r["buckets_error"] == {}
+    got = (
+        io.read(spark, "tier_counts_split")
+        .groupBy("conv_id")
+        .agg(F.sum("n").alias("n"))
+        .toPandas()
+        .set_index("conv_id")["n"]
+    )
+    want = (
+        tier.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    )
+    assert got.sort_index().equals(want.sort_index().astype(got.dtype))

@@ -7,7 +7,7 @@ algorithm) runs a bounded number of examples against one shared session.
 """
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from mpnsm_spark.functions.tuning import _q6, dec_mean, make_ladder
@@ -72,6 +72,7 @@ def test_multiplicative_ladder_laws(initial, final, step):
     st.floats(min_value=-1e6, max_value=1e6),
     st.floats(min_value=0.001, max_value=1e5),
 )
+@example(0.1, 0.4, 0.1)  # np.arange float accumulation landed ON final (ADVICE r3)
 def test_additive_ladder_laws(initial, final, step):
     import pytest as _pytest
 

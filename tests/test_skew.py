@@ -34,6 +34,31 @@ def test_sub_splits_bound_group_size(transcripts):
     assert cold_subs.toPandas()["sub_id"].tolist() == [0]
 
 
+def test_sub_splits_timestamp_order_col(transcripts):
+    """Non-numeric order_col (timestamp): the rank-window path still bounds
+    every (conv, sub) group and keeps cold conversations unsplit (ADVICE r3:
+    the numeric-division path raised DATATYPE_MISMATCH for the tier tables'
+    ``bucket_start`` default)."""
+    sub = with_sub_splits(transcripts, split_threshold=50, order_col="ts")
+    sizes = sub.groupBy("conv_id", "sub_id").count().toPandas()
+    assert (sizes["count"] <= 50).all()
+    cold = conv_sizes(transcripts).filter(F.col("n_turns") <= 50)
+    cold_subs = sub.join(cold, "conv_id", "left_semi").select("sub_id").distinct()
+    assert cold_subs.toPandas()["sub_id"].tolist() == [0]
+    assert sub.count() == transcripts.count()  # row multiset preserved
+
+
+def test_schema_column_names_commas_in_types(spark):
+    """DDL parsing must survive comma-bearing types (ADVICE r3)."""
+    from mpnsm_spark.operators.skew import _schema_column_names
+
+    ddl = (
+        "conv_id string, amt decimal(20,6), props map<string,int>, "
+        "s struct<a:int,b:string>"
+    )
+    assert _schema_column_names(ddl) == ["conv_id", "amt", "props", "s"]
+
+
 def test_per_series_kernel_with_split_matches_unsplit(spark, transcripts):
     """A per-series rollup kernel run with hot-key splitting + associative
     re-merge equals the plain SQL rollup (split safety end-to-end)."""

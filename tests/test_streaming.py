@@ -262,3 +262,55 @@ def test_streaming_gapfill_locf_equals_batch_anchored(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # gaps genuinely crossed micro-batch boundaries (state carried 04:00->09:00)
     assert int(got["is_gap"].sum()) == 12
+
+
+def test_streaming_gapfill_multi_arrow_chunk_group(spark, tmp_path):
+    """One group whose micro-batch exceeds maxRecordsPerBatch: Arrow hands the
+    kernel several chunks in arbitrary order. The LOCF walk must sort the
+    CONCATENATED group, not each chunk independently (ADVICE r3: per-chunk
+    sorting misclassified earlier epochs in later chunks as late rows and
+    silently skipped gap emission)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mpnsm_spark.operators.gapfill import gapfill_anchored
+    from mpnsm_spark.streaming.gapfill_stream import run_gapfill_stream_to_memory
+
+    hours = [0, 2, 5, 6, 9, 13, 14, 18]  # 8 anchors > chunk size 3
+    tier_pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(hours),
+            "bucket_start": [f"2025-02-01 {h:02d}:00:00" for h in hours],
+            "value_avg": [float(h) for h in hours],
+        }
+    )
+    batch_df = spark.createDataFrame(tier_pdf).withColumn(
+        "bucket_start", F.to_timestamp("bucket_start")
+    )
+    src = str(tmp_path / "chunk_src")
+    # one file -> one micro-batch; 4 row groups via repartition so the state
+    # kernel's Arrow iterator yields multiple frames
+    batch_df.repartition(4).write.parquet(src)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        got = (
+            run_gapfill_stream_to_memory(
+                spark, stream, tier="1h", query_name="gapfill_chunks"
+            )
+            .toPandas()
+            .sort_values("bucket_start")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = (
+        gapfill_anchored(batch_df, "1h")
+        .select("conv_id", "bucket_start", "is_gap", "value_locf")
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 19  # hours 0..18 inclusive
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
