@@ -144,6 +144,49 @@ def handle_outliers(
     raise ValueError(f"mode must be flag|drop|dummy, got {mode!r}")
 
 
+def changepoint_indices(
+    vals: np.ndarray,
+    n_changepoints: int = 5,
+    min_distance: int = 3,
+    lo: int = 0,
+    hi: int | None = None,
+) -> tuple[list[int], np.ndarray]:
+    """Shared numpy core of :func:`changepoints`: smooth → |second diff| →
+    greedy top-k with min distance. Returns (accepted indices in acceptance
+    order, per-index score). ``lo``/``hi`` restrict candidates to
+    ``lo <= idx < hi`` — the reference's interior changepoint margin
+    (``model.py:297-311``: changepoints only between an offset past the
+    series start and ``changepoint_range`` of the train span). Defaults keep
+    the full range, bitwise-identical to the pre-refactor operator kernel."""
+    n = len(vals)
+    hi = n if hi is None else hi
+    if n < 3 or n_changepoints <= 0:
+        return [], np.zeros(n)
+    # centered 3-window mean, accumulated (prev + cur) + next so the
+    # grouping matches a SQL windowed SUM over (1 PRECEDING, 1 FOLLOWING)
+    s = vals.copy()
+    s[1:] = vals[:-1] + vals[1:]
+    s[:-1] = s[:-1] + vals[1:]
+    cnt = np.full(n, 3.0)
+    cnt[0] = cnt[-1] = 2.0
+    sm = s / cnt
+    d2 = np.zeros(n)
+    d2[1:-1] = np.abs((sm[2:] - 2 * sm[1:-1]) + sm[:-2])
+    score = np.floor(d2 * 1e6 + 0.5) / 1e6  # half-up 6dp, SQL-identical
+    order = np.argsort(-score, kind="stable")
+    accepted: list[int] = []
+    for idx in order:
+        if score[idx] <= 0:
+            break
+        if idx < lo or idx >= hi:
+            continue
+        if all(abs(idx - a) >= min_distance for a in accepted):
+            accepted.append(int(idx))
+            if len(accepted) == n_changepoints:
+                break
+    return accepted, score
+
+
 CHANGEPOINT_SCHEMA = (
     "conv_id string, bucket_start timestamp, score double, rank int"
 )
@@ -179,26 +222,7 @@ def changepoints(
             return pd.DataFrame(
                 columns=["conv_id", "bucket_start", "score", "rank"]
             ).astype({"score": float, "rank": int})
-        # centered 3-window mean, accumulated (prev + cur) + next so the
-        # grouping matches a SQL windowed SUM over (1 PRECEDING, 1 FOLLOWING)
-        s = vals.copy()
-        s[1:] = vals[:-1] + vals[1:]
-        s[:-1] = s[:-1] + vals[1:]
-        cnt = np.full(n, 3.0)
-        cnt[0] = cnt[-1] = 2.0
-        sm = s / cnt
-        d2 = np.zeros(n)
-        d2[1:-1] = np.abs((sm[2:] - 2 * sm[1:-1]) + sm[:-2])
-        score = np.floor(d2 * 1e6 + 0.5) / 1e6  # half-up 6dp, SQL-identical
-        order = np.argsort(-score, kind="stable")
-        accepted: list[int] = []
-        for idx in order:
-            if score[idx] <= 0:
-                break
-            if all(abs(idx - a) >= min_distance for a in accepted):
-                accepted.append(int(idx))
-                if len(accepted) == n_changepoints:
-                    break
+        accepted, score = changepoint_indices(vals, n_changepoints, min_distance)
         return pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].iloc[0],
