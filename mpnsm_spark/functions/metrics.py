@@ -45,6 +45,48 @@ def weighted_ci(y: str = "y", lo: str = "yhat_lower", hi: str = "yhat_upper") ->
     return (F.sum(miss) / F.sum(F.abs(F.col(y)))).alias("weighted_ci")
 
 
+def ci_width(yhat: str = "yhat", lo: str = "yhat_lower", hi: str = "yhat_upper") -> Column:
+    """The reference's literal WeightedCI equation (``metrics.py:111``):
+    ``sum(|upper - lower|) / sum(|pred|)`` — interval WIDTH mass relative to
+    prediction mass (sharpness; lower is better)."""
+    return (
+        F.sum(F.abs(F.col(hi) - F.col(lo))) / F.sum(F.abs(F.col(yhat)))
+    ).alias("ci_width")
+
+
+def wmapeci(
+    y: str = "y",
+    yhat: str = "yhat",
+    lo: str = "yhat_lower",
+    hi: str = "yhat_upper",
+    ci_coef: float = 0.5,
+    wmape_coef: float = 0.5,
+) -> Column:
+    """The reference's combined WMAPECI metric (``metrics.py:301-380``):
+    ``(ci_coef·ci + wmape_coef·wmape) / (ci_coef + wmape_coef)`` with ci =
+    the WeightedCI width ratio and wmape the weighted error."""
+    ci = F.sum(F.abs(F.col(hi) - F.col(lo))) / F.sum(F.abs(F.col(yhat)))
+    wm = F.sum(F.abs(F.col(y) - F.col(yhat))) / F.sum(F.abs(F.col(y)))
+    return (
+        (F.lit(float(ci_coef)) * ci + F.lit(float(wmape_coef)) * wm)
+        / F.lit(float(ci_coef) + float(wmape_coef))
+    ).alias("wmapeci")
+
+
+def mean_abs_pct(y: str = "y", yhat: str = "yhat") -> Column:
+    """mean(|y-ŷ|/|y|) (``deprecated/ts_utils.py:244-245``)."""
+    return F.avg(F.abs(F.col(y) - F.col(yhat)) / F.abs(F.col(y))).alias(
+        "mean_abs_pct"
+    )
+
+
+def median_abs_pct(y: str = "y", yhat: str = "yhat") -> Column:
+    """median(|y-ŷ|/|y|) (``deprecated/ts_utils.py:246-247``)."""
+    return F.median(F.abs(F.col(y) - F.col(yhat)) / F.abs(F.col(y))).alias(
+        "median_abs_pct"
+    )
+
+
 def mae(y: str = "y", yhat: str = "yhat") -> Column:
     return F.avg(F.abs(F.col(y) - F.col(yhat))).alias("mae")
 

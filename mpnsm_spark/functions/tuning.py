@@ -49,13 +49,41 @@ def dec_mean(vals: np.ndarray) -> float:
 
 
 def wmape(y: np.ndarray, yhat: np.ndarray) -> float:
-    """Σ|y-ŷ| / Σ|y| with the decimal-sum contract (oracle-replayable)."""
+    """Σ|y-ŷ| / Σ|y| with the decimal-sum contract (oracle-replayable).
+    The reference's WMAPE / 'weighted' error kernel
+    (``metrics.py:249-283``, ``deprecated/ts_utils.py:241-247``)."""
     num = _q6(np.abs(np.asarray(y) - np.asarray(yhat))).sum() / 1e6
     den = _q6(np.abs(np.asarray(y))).sum() / 1e6
     return num / den if den != 0 else float("inf")
 
 
-METRICS: dict[str, Callable] = {"wmape": wmape}
+def mean_abs_pct(y: np.ndarray, yhat: np.ndarray) -> float:
+    """mean(|y-ŷ| / |y|) — the reference's ``mean_abs_pct`` kernel
+    (``deprecated/ts_utils.py:244-245``). Ratios are plain IEEE doubles (both
+    engines read identical inputs and divide identically); only the MEAN uses
+    the dec-sum order via an exact sum of 6dp-quantized ratios so a DuckDB
+    replay is bitwise."""
+    y = np.asarray(y, dtype=np.float64)
+    r = np.abs(y - np.asarray(yhat)) / np.abs(y)
+    return _q6(r).sum() / 1e6 / len(r)
+
+
+def median_abs_pct(y: np.ndarray, yhat: np.ndarray) -> float:
+    """median(|y-ŷ| / |y|) (``deprecated/ts_utils.py:246-247``). The even-n
+    midpoint is computed as ``(a + b) / 2`` — exactly the SQL twin's
+    ``sum(middle two) / 2`` — so the replay is bitwise."""
+    y = np.asarray(y, dtype=np.float64)
+    r = np.sort(np.abs(y - np.asarray(yhat)) / np.abs(y))
+    n = len(r)
+    mid = n // 2
+    return float(r[mid]) if n % 2 else float((r[mid - 1] + r[mid]) / 2.0)
+
+
+METRICS: dict[str, Callable] = {
+    "wmape": wmape,
+    "mean_abs_pct": mean_abs_pct,
+    "median_abs_pct": median_abs_pct,
+}
 
 
 # ------------------------------------------------- ladder + convergence rules
@@ -305,6 +333,205 @@ def tune_per_series(
         df.select(key, *order_cols, value_col),
         kernel,
         TUNE_SCHEMA,
+        key=key,
+        order_col=order_cols,
+    )
+
+
+# ------------------------------------------------- multi-parameter search
+
+
+def expand_param_grid(grid: dict[str, Sequence]) -> list[dict]:
+    """Dict-of-lists → list of param dicts with sklearn ``ParameterGrid``
+    iteration semantics (reference ``hyperparameter_tuning.py:447``): keys
+    sorted, cartesian product, LAST key varying fastest. The order matters —
+    ties in the search resolve to the earliest combination."""
+    import itertools
+
+    keys = sorted(grid)
+    return [
+        dict(zip(keys, combo))
+        for combo in itertools.product(*(list(grid[k]) for k in keys))
+    ]
+
+
+TUNE_PARAMS_SCHEMA = "conv_id string, param string, value double, folds_used int"
+
+
+def _params_out(key_val, chosen: dict, folds: int) -> pd.DataFrame:
+    names = sorted(chosen)
+    return pd.DataFrame(
+        {
+            "conv_id": [key_val] * len(names),
+            "param": names,
+            "value": [float(chosen[p]) for p in names],
+            "folds_used": np.full(len(names), folds, dtype=np.int32),
+        }
+    )
+
+
+def _empty_params_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"conv_id": [], "param": [], "value": [], "folds_used": []}
+    ).astype({"value": float, "folds_used": "int32"})
+
+
+def tune_grid_per_series(
+    df: DataFrame,
+    param_grid: dict[str, Sequence],
+    forecaster: Callable[[np.ndarray, int, dict], np.ndarray],
+    metric: str | Callable = "wmape",
+    chooser: str = "global_min",
+    n_folds: int = 3,
+    horizon: int = 10,
+    jump: int = 5,
+    min_train: int = 5,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-parameter exhaustive grid search per series (reference
+    ``ParameterGridHyperparameterTuning``, ``hyperparameter_tuning.py:
+    338-527``): every combination scored on every expanding-CV fold.
+
+    Choosers:
+
+    - ``"global_min"`` — the reference's ``choose_best_param`` (``:366-389``):
+      ONE winning combination, the global argmin of the metric over all
+      (fold, combination) pairs; ties → earliest combination in
+      ``ParameterGrid`` order, then earliest fold.
+    - ``"median"`` — per fold pick the best combination, then per PARAMETER
+      take the cross-fold median (the engine's A8 chooser lifted to dicts).
+
+    Output: one row per (series, parameter name): (key, param, value,
+    folds_used) — tall shape so heterogeneous grids stay SQL-comparable.
+    """
+    metric_fn = METRICS[metric] if isinstance(metric, str) else metric
+    combos = expand_param_grid(param_grid)
+    order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        cutoffs = expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train)
+        if not cutoffs:
+            return _empty_params_out()
+        scores = np.empty((len(cutoffs), len(combos)))
+        for fi, cutoff in enumerate(cutoffs):
+            train, test = vals[:cutoff], vals[cutoff : cutoff + horizon]
+            for ci, combo in enumerate(combos):
+                scores[fi, ci] = metric_fn(test, forecaster(train, horizon, combo))
+        if chooser == "global_min":
+            # argmin over (fold, combo); ties -> earliest combo, then fold
+            flat_ci = int(
+                np.lexsort((np.repeat(range(len(cutoffs)), len(combos)),
+                            np.tile(range(len(combos)), len(cutoffs)),
+                            scores.ravel()))[0]
+            ) % len(combos)
+            chosen = combos[flat_ci]
+        elif chooser == "median":
+            best_per_fold = [combos[int(np.argmin(row))] for row in scores]
+            chosen = {
+                p: float(np.median([b[p] for b in best_per_fold]))
+                for p in param_grid
+            }
+        else:
+            raise ValueError(f"chooser must be global_min|median, got {chooser!r}")
+        return _params_out(pdf[key].iloc[0], chosen, len(cutoffs))
+
+    return apply_per_series(
+        df.select(key, *order_cols, value_col),
+        kernel,
+        TUNE_PARAMS_SCHEMA,
+        key=key,
+        order_col=order_cols,
+    )
+
+
+def tune_ladder_per_series(
+    df: DataFrame,
+    ladder_specs: Sequence[dict],
+    forecaster: Callable[[np.ndarray, int, dict], np.ndarray],
+    base_params: dict | None = None,
+    metric_specs: Sequence[MetricSpec] | None = None,
+    fold_agg: str = "mean",
+    fold_choice: str = "penultimate",
+    n_folds: int = 3,
+    horizon: int = 10,
+    jump: int = 5,
+    min_train: int = 5,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-parameter heuristic ladders with the OTHERS FIXED — the
+    reference's coordinate-descent tuner (``hyperparameter_tuning.py:
+    174-304``: ``optimize`` walks ``self.hyperparams`` in declaration order,
+    each ``optimize_hyperparameter`` laddering ONE param from the current
+    best configuration and fixing its winner before the next param).
+
+    ``ladder_specs``: ordered dicts ``{"name", "initial", "final", "step",
+    "mode"}`` (``make_ladder`` args). Per rung, fold scores are aggregated by
+    ``fold_agg`` (``mean``/``median``) per metric; the walk stops by the
+    reference's two-rung tolerance rule (:func:`ladder_converged` over
+    ``metric_specs``, default a single WMAPE spec); the rung winner is the
+    ``penultimate`` (reference chooser) or ``best`` rung.
+
+    Output: tall (key, param, value, folds_used) rows — one per tuned param.
+    """
+    specs = list(metric_specs) if metric_specs else [MetricSpec("wmape")]
+    if fold_agg not in ("mean", "median"):
+        raise ValueError(f"fold_agg must be mean|median, got {fold_agg!r}")
+    agg = np.mean if fold_agg == "mean" else np.median
+    order_cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+    base = dict(base_params or {})
+    ladders = [
+        (sp["name"], make_ladder(sp["initial"], sp["final"], sp["step"],
+                                 sp.get("mode", "additive")))
+        for sp in ladder_specs
+    ]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(np.float64)
+        cutoffs = expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train)
+        if not cutoffs:
+            return _empty_params_out()
+        folds = [
+            (vals[:c], vals[c : c + horizon]) for c in cutoffs
+        ]
+
+        def rung_scores(params: dict) -> dict[str, float]:
+            per_fold = {sp.name: [] for sp in specs}
+            for train, test in folds:
+                preds = forecaster(train, horizon, params)
+                for sp in specs:
+                    per_fold[sp.name].append(sp.fn(test, preds))
+            return {name: float(agg(v)) for name, v in per_fold.items()}
+
+        best = dict(base)
+        for name, ladder in ladders:
+            tried: list[tuple[float, dict[str, float]]] = []
+            for v in ladder:
+                s = rung_scores({**best, name: v})
+                tried.append((float(v), s))
+                if len(tried) >= 2 and ladder_converged(tried[-2][1], s, specs):
+                    break
+            if fold_choice == "penultimate" and len(tried) >= 2:
+                best[name] = tried[-2][0]
+            else:
+                lead = specs[0]
+                keyfn = (
+                    (lambda t: -t[1][lead.name])
+                    if lead.higher_better
+                    else (lambda t: t[1][lead.name])
+                )
+                best[name] = min(tried, key=keyfn)[0]
+        tuned = {name: best[name] for name, _ in ladders}
+        return _params_out(pdf[key].iloc[0], tuned, len(cutoffs))
+
+    return apply_per_series(
+        df.select(key, *order_cols, value_col),
+        kernel,
+        TUNE_PARAMS_SCHEMA,
         key=key,
         order_col=order_cols,
     )

@@ -205,6 +205,52 @@ def test_metrics_closed_forms(spark):
     assert got.loc["b", "mae"] == pytest.approx(0.5)
 
 
+def test_metric_family_parity_closed_forms(spark):
+    """Round-4 metric family (reference metrics.py:111, :301-380,
+    deprecated/ts_utils.py:241-247) vs hand-computed numpy."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4,
+            "y": [10.0, 20.0, 30.0, 40.0],
+            "yhat": [12.0, 18.0, 33.0, 40.0],
+            "lo": [8.0, 15.0, 25.0, 35.0],
+            "hi": [13.0, 22.0, 31.0, 45.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        metrics.grouped_metrics(
+            df,
+            ["conv_id"],
+            [
+                metrics.ci_width("yhat", "lo", "hi"),
+                metrics.wmapeci("y", "yhat", "lo", "hi", ci_coef=0.7, wmape_coef=0.3),
+                metrics.mean_abs_pct("y", "yhat"),
+                metrics.median_abs_pct("y", "yhat"),
+            ],
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    y, yh = pdf["y"].to_numpy(), pdf["yhat"].to_numpy()
+    ci = np.abs(pdf["hi"] - pdf["lo"]).sum() / np.abs(yh).sum()
+    wm = np.abs(y - yh).sum() / np.abs(y).sum()
+    r = np.abs(y - yh) / np.abs(y)
+    assert got.loc["a", "ci_width"] == pytest.approx(ci)
+    assert got.loc["a", "wmapeci"] == pytest.approx((0.7 * ci + 0.3 * wm) / 1.0)
+    assert got.loc["a", "mean_abs_pct"] == pytest.approx(r.mean())
+    assert got.loc["a", "median_abs_pct"] == pytest.approx(np.median(r))
+    # the in-kernel (tuning) twins agree with the SQL-side columns
+    from mpnsm_spark.functions.tuning import METRICS
+
+    assert METRICS["mean_abs_pct"](y, yh) == pytest.approx(r.mean())
+    assert METRICS["median_abs_pct"](y, yh) == pytest.approx(np.median(r))
+    # odd-count median path
+    assert METRICS["median_abs_pct"](y[:3], yh[:3]) == pytest.approx(
+        np.median(r[:3])
+    )
+
+
 def test_outlier_dummies_wide_encoding(spark):
     """mode='dummy' (reference outlier_handle='fit'): rows kept, one 0/1
     column per distinct outlier date, active exactly at (series, date)

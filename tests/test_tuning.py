@@ -415,3 +415,147 @@ def test_hierarchy_reconciliation_closed_forms(spark):
     assert np.allclose(bu["yhat_total_rec"].to_numpy(), yb.sum())
     with pytest.raises(ValueError):
         reconcile_forecasts(bottom, total, method="mint")
+
+
+# ---------------------------------------------------- multi-parameter search
+
+
+def _wscale(train, h, p):
+    """2-param surrogate: scaled last-w mean."""
+    w = int(p["w"])
+    seg = train[-w:] if w < len(train) else train
+    return np.full(h, dec_mean(seg) * p["scale"])
+
+
+def test_expand_param_grid_parametergrid_order():
+    from mpnsm_spark.functions.tuning import expand_param_grid
+
+    got = expand_param_grid({"w": [1, 2], "scale": [0.9, 1.0]})
+    # sorted keys (scale, w), LAST key fastest
+    assert got == [
+        {"scale": 0.9, "w": 1},
+        {"scale": 0.9, "w": 2},
+        {"scale": 1.0, "w": 1},
+        {"scale": 1.0, "w": 2},
+    ]
+
+
+def _pandas_grid_tune(pdf, grid, chooser, n_folds=3, horizon=10, jump=5, min_train=5):
+    """Independent pandas replay of the multi-param grid search."""
+    from mpnsm_spark.functions.tuning import expand_param_grid
+
+    combos = expand_param_grid(grid)
+    out = {}
+    for conv, g in pdf.groupby("conv_id"):
+        vals = g.sort_values("turn_idx")["value"].to_numpy()
+        cutoffs = expanding_cutoffs(len(vals), n_folds, horizon, jump, min_train)
+        if not cutoffs:
+            continue
+        table = []  # (fold, combo_idx, score)
+        for fi, c in enumerate(cutoffs):
+            train, test = vals[:c], vals[c : c + horizon]
+            for ci, combo in enumerate(combos):
+                table.append((fi, ci, wmape(test, _wscale(train, horizon, combo))))
+        if chooser == "global_min":
+            _, ci, _ = min(table, key=lambda t: (t[2], t[1], t[0]))
+            chosen = combos[ci]
+        else:
+            per_fold = []
+            for fi in range(len(cutoffs)):
+                rows = [t for t in table if t[0] == fi]
+                _, ci, _ = min(rows, key=lambda t: (t[2], t[1]))
+                per_fold.append(combos[ci])
+            chosen = {
+                p: float(np.median([b[p] for b in per_fold])) for p in grid
+            }
+        out[conv] = ({k: float(v) for k, v in chosen.items()}, len(cutoffs))
+    return out
+
+
+@pytest.mark.parametrize("chooser", ["global_min", "median"])
+def test_tune_grid_matches_pandas_replay(spark, series_df, chooser):
+    from mpnsm_spark.functions.tuning import tune_grid_per_series
+
+    grid = {"w": [1, 2, 4, 8], "scale": [0.95, 1.0, 1.05]}
+    got = tune_grid_per_series(
+        series_df, grid, _wscale, chooser=chooser
+    ).toPandas()
+    want = _pandas_grid_tune(series_df.toPandas(), grid, chooser)
+    assert set(got["conv_id"]) == set(want)
+    for (conv, param), grp in got.groupby(["conv_id", "param"]):
+        assert len(grp) == 1
+        chosen, folds = want[conv]
+        assert grp["value"].iloc[0] == chosen[param], (conv, param, chooser)
+        assert grp["folds_used"].iloc[0] == folds
+    # non-degenerate: both params vary across series
+    pivots = got.pivot(index="conv_id", columns="param", values="value")
+    assert pivots["w"].nunique() > 1
+
+
+def test_tune_ladder_coordinate_descent_matches_replay(spark, series_df):
+    """Sequential per-param ladders with the others fixed (reference
+    heuristic tuner): independent pandas replay of the full walk."""
+    from mpnsm_spark.functions.tuning import (
+        MetricSpec,
+        ladder_converged,
+        make_ladder,
+        tune_ladder_per_series,
+    )
+
+    specs = [MetricSpec(wmape, max_worse=0.02, min_better=0.002, name="wmape")]
+    ladder_specs = [
+        {"name": "w", "initial": 1, "final": 16, "step": 2, "mode": "multiplicative"},
+        {"name": "scale", "initial": 0.9, "final": 1.2, "step": 0.1},
+    ]
+    base = {"w": 1, "scale": 1.0}
+    got = tune_ladder_per_series(
+        series_df, ladder_specs, _wscale, base_params=base, metric_specs=specs
+    ).toPandas()
+
+    pdf = series_df.toPandas()
+    for conv, g in pdf.groupby("conv_id"):
+        vals = g.sort_values("turn_idx")["value"].to_numpy()
+        cutoffs = expanding_cutoffs(len(vals), 3, 10, 5, 5)
+        if not cutoffs:
+            continue
+        folds = [(vals[:c], vals[c : c + 10]) for c in cutoffs]
+        best = dict(base)
+        for sp in ladder_specs:
+            ladder = make_ladder(
+                sp["initial"], sp["final"], sp["step"], sp.get("mode", "additive")
+            )
+            tried = []
+            for v in ladder:
+                per = [
+                    wmape(test, _wscale(train, 10, {**best, sp["name"]: v}))
+                    for train, test in folds
+                ]
+                s = {"wmape": float(np.mean(per))}
+                tried.append((float(v), s))
+                if len(tried) >= 2 and ladder_converged(tried[-2][1], s, specs):
+                    break
+            best[sp["name"]] = (
+                tried[-2][0] if len(tried) >= 2 else tried[-1][0]
+            )
+        sub = got[got.conv_id == conv].set_index("param")["value"]
+        assert sub["w"] == best["w"], conv
+        assert sub["scale"] == best["scale"], conv
+
+
+def test_tune_grid_with_real_model(spark, series_df):
+    """The OLS model's dict params ride the multi-param grid end-to-end."""
+    from mpnsm_spark.functions.model import ols_forecaster
+    from mpnsm_spark.functions.tuning import tune_grid_per_series
+
+    small = series_df.filter(F.col("conv_id") < "s006")
+    got = tune_grid_per_series(
+        small,
+        {"n_changepoints": [0, 2], "fit_smooth": [0, 1]},
+        lambda tr, h, p: ols_forecaster(
+            tr, h, {"n_changepoints": int(p["n_changepoints"]),
+                    "fit_smooth": bool(p["fit_smooth"])}
+        ),
+        chooser="global_min",
+    ).toPandas()
+    assert set(got["param"]) == {"fit_smooth", "n_changepoints"}
+    assert (got.groupby("conv_id").size() == 2).all()
