@@ -1529,6 +1529,260 @@ FROM walk WHERE step >= 1
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair → cluster resolution (min-id label propagation,
+    large-star/small-star shape): a deterministic chain-pair graph over
+    documents (doc d ∼ d+1 whenever d % 8 < 3 → components of diameter 3)
+    resolved with fixed_iters=4 so the oracle replays the EXACT same four
+    neighbor-min rounds as unrolled SQL CTEs; untouched docs come back as
+    singleton keepers."""
+    from mpnsm_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        docs.filter(F.col("doc_id") % 8 < 3)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return resolve_duplicate_clusters(pairs, ids=docs, fixed_iters=4)
+
+
+_ROUND_CC = """
+l{i} AS (
+  SELECT l.id, least(l.label, coalesce(m.nb, l.label)) AS label
+  FROM l{p} l LEFT JOIN (
+    SELECT e.src, min(x.label) AS nb
+    FROM edges e JOIN l{p} x ON x.id = e.dst GROUP BY e.src
+  ) m ON m.src = l.id
+)"""
+
+SQL_DUP_CLUSTERS = (
+    """
+WITH pairs AS (
+  SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 8 < 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+),"""
+    + ",".join(_ROUND_CC.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+SELECT id AS doc_id, label AS cluster_id, id = label AS keep_flag FROM l4
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep_flag
+FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM l0)
+"""
+)
+
+
+def q_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real per-series model's SQL-expressible core: fixed 3-basis OLS
+    (intercept, t, hinge at floor(n/2)) fit per user by explicit Cramer's
+    rule under the decimal contract (functions/model.py
+    linear_hinge_forecaster), 5-step forecast. Integer Gram entries are
+    exact in both engines; y cross-moments ride exact DECIMAL(20,6) sums;
+    the 3×3 solve and prediction mirror the SQL's operation order verbatim;
+    output rounded half-away-from-zero at 6dp (+0.0 canonicalizes -0.0)."""
+    import numpy as np
+    import pandas as pd
+
+    from mpnsm_spark.functions.model import linear_hinge_forecaster
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id", "value"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf["value"].to_numpy(np.float64)
+        if len(y) < 8:
+            return pd.DataFrame({"conv_id": [], "step": [], "yhat": []}).astype(
+                {"step": "int32", "yhat": float}
+            )
+        preds = linear_hinge_forecaster(y, 5, 0.5)
+        q = (
+            np.where(
+                preds >= 0,
+                np.floor(preds * 1e6 + 0.5),
+                np.ceil(preds * 1e6 - 0.5),
+            )
+            / 1e6
+            + 0.0
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "step": np.arange(1, 6, dtype=np.int32),
+                "yhat": q,
+            }
+        )
+
+    out = apply_per_series(
+        ev, kernel, "conv_id string, step int, yhat double",
+        order_col=["ts", "event_id"],
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"), "step", "yhat"
+    )
+
+
+SQL_OLS_FORECAST = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), kk AS (
+  SELECT user_id, max(n) AS n, CAST(floor(max(n) * 0.5) AS BIGINT) AS k
+  FROM ordered GROUP BY user_id HAVING max(n) >= 8
+), mom AS (
+  SELECT o.user_id, kk.n, kk.k,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(o.t) AS DOUBLE) AS st,
+         CAST(sum(o.t * o.t) AS DOUBLE) AS stt,
+         CAST(sum(greatest(o.t - kk.k, 0)) AS DOUBLE) AS sh,
+         CAST(sum(o.t * greatest(o.t - kk.k, 0)) AS DOUBLE) AS sth,
+         CAST(sum(greatest(o.t - kk.k, 0) * greatest(o.t - kk.k, 0)) AS DOUBLE) AS shh,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6)) * o.t) AS DOUBLE) AS sty,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6)) * greatest(o.t - kk.k, 0)) AS DOUBLE) AS shy
+  FROM ordered o JOIN kk ON kk.user_id = o.user_id
+  GROUP BY o.user_id, kk.n, kk.k
+), beta AS (
+  SELECT user_id, n, k,
+         (nn * (stt * shh - sth * sth) - st * (st * shh - sth * sh)
+            + sh * (st * sth - stt * sh)) AS det,
+         (sy * (stt * shh - sth * sth) - st * (sty * shh - sth * shy)
+            + sh * (sty * sth - stt * shy)) AS n0,
+         (nn * (sty * shh - sth * shy) - sy * (st * shh - sth * sh)
+            + sh * (st * shy - sty * sh)) AS n1,
+         (nn * (stt * shy - sty * sth) - st * (st * shy - sty * sh)
+            + sy * (st * sth - stt * sh)) AS n2
+  FROM mom
+), preds AS (
+  SELECT b.user_id, s.step,
+         (n0 / det)
+           + (n1 / det) * CAST(b.n + s.step - 1 AS DOUBLE)
+           + (n2 / det) * greatest(CAST(b.n + s.step - 1 - b.k AS DOUBLE), 0.0)
+           AS raw
+  FROM beta b CROSS JOIN (SELECT unnest(range(1, 6)) AS step) s
+)
+SELECT user_id, CAST(step AS INT) AS step,
+       CASE WHEN raw >= 0 THEN floor(raw * 1e6 + 0.5)
+            ELSE ceil(raw * 1e6 - 0.5) END / 1e6 + 0.0 AS yhat
+FROM preds
+"""
+
+
+def q_hyperparam_multimetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-metric convergence walk (reference CombinedMetric tolerances,
+    metrics.py:301-380 + the :96-145 stop rule): the multiplicative ladder
+    w ∈ 1..16 stops at the first rung where EITHER metric regresses past its
+    max_worse OR NEITHER improves by its min_better; fold winner =
+    penultimate rung, chooser = cross-fold median. Metrics: decimal-contract
+    WMAPE and median-abs-pct (even-horizon midpoint = sum(middle two)/2,
+    bitwise in both engines). Series uses value+1.0 so |y| > 0 at every SF."""
+    from mpnsm_spark.functions.tuning import (
+        MetricSpec,
+        make_ladder,
+        median_abs_pct,
+        tune_per_series,
+        wmape,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+    )
+    out = tune_per_series(
+        ev,
+        param_grid=make_ladder(1, 16, 2, "multiplicative"),
+        metric_specs=[
+            MetricSpec(wmape, max_worse=0.02, min_better=0.002, name="wmape"),
+            MetricSpec(median_abs_pct, max_worse=0.05, min_better=0.005,
+                       name="median_abs_pct"),
+        ],
+        fold_choice="penultimate",
+        n_folds=3,
+        horizon=10,
+        jump=5,
+        min_train=5,
+        order_col=["ts", "event_id"],
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "chosen_param",
+        "folds_used",
+    )
+
+
+SQL_HYPERPARAM_MULTI = """
+WITH ordered AS (
+  SELECT user_id, value + 1.0 AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), folds AS (
+  SELECT DISTINCT user_id, n, f.fold, n - 10 - f.fold * 5 AS cutoff
+  FROM ordered CROSS JOIN (SELECT unnest(range(3)) AS fold) f
+  WHERE n - 10 - f.fold * 5 >= 5
+), fits AS (
+  SELECT f.user_id, f.fold, f.cutoff, p.w,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS yhat
+  FROM folds f
+  CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS w) p
+  JOIN ordered o ON o.user_id = f.user_id
+       AND o.rn > f.cutoff - p.w AND o.rn <= f.cutoff
+  GROUP BY 1, 2, 3, 4
+), ratios AS (
+  SELECT t.user_id, t.fold, t.w, o.value, t.yhat,
+         abs(o.value - t.yhat) / abs(o.value) AS r,
+         row_number() OVER (PARTITION BY t.user_id, t.fold, t.w
+                            ORDER BY abs(o.value - t.yhat) / abs(o.value)) AS rr
+  FROM fits t JOIN ordered o ON o.user_id = t.user_id
+       AND o.rn > t.cutoff AND o.rn <= t.cutoff + 10
+), scores AS (
+  SELECT user_id, fold, w,
+         CAST(sum(CAST(abs(value - yhat) AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(sum(CAST(abs(value) AS DECIMAL(20,6))) AS DOUBLE) AS wmape,
+         sum(CASE WHEN rr IN (5, 6) THEN r END) / 2 AS medap
+  FROM ratios GROUP BY 1, 2, 3
+), walk AS (
+  SELECT user_id, fold, w, wmape, medap,
+         row_number() OVER (PARTITION BY user_id, fold ORDER BY w ASC) AS k,
+         lag(wmape) OVER (PARTITION BY user_id, fold ORDER BY w ASC) AS pw,
+         lag(medap) OVER (PARTITION BY user_id, fold ORDER BY w ASC) AS pm
+  FROM scores
+), stops AS (
+  SELECT user_id, fold,
+         coalesce(
+           min(CASE WHEN k >= 2 AND (
+                 wmape > pw + 0.02 OR medap > pm + 0.05
+                 OR (NOT (wmape <= pw - 0.002) AND NOT (medap <= pm - 0.005))
+               ) THEN k END),
+           max(k)
+         ) AS stop_k
+  FROM walk GROUP BY 1, 2
+), chosen AS (
+  SELECT w.user_id, w.fold, w.w
+  FROM walk w JOIN stops s ON s.user_id = w.user_id AND s.fold = w.fold
+  WHERE w.k = s.stop_k - 1
+)
+SELECT user_id,
+       quantile_cont(CAST(w AS DOUBLE), 0.5) AS chosen_param,
+       CAST(count(*) AS INT) AS folds_used
+FROM chosen GROUP BY user_id
+"""
+
+
 # ----------------------------------------------- generated oracle SQL (LSH &c)
 
 
@@ -1850,6 +2104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_reconcile": q_hierarchy_reconcile,
         "signlsh_near_dups": q_signlsh_near_dups,
         "stepwise_predict": q_stepwise_predict,
+        "dup_clusters": q_dup_clusters,
+        "ols_forecast": q_ols_forecast,
+        "hyperparam_multimetric": q_hyperparam_multimetric,
     }
 
 
@@ -1898,4 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchy_reconcile": SQL_HIERARCHY,
         "signlsh_near_dups": _sql_signlsh(),
         "stepwise_predict": SQL_STEPWISE,
+        "dup_clusters": SQL_DUP_CLUSTERS,
+        "ols_forecast": SQL_OLS_FORECAST,
+        "hyperparam_multimetric": SQL_HYPERPARAM_MULTI,
     }

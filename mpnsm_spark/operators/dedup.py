@@ -384,3 +384,120 @@ def simhash_buckets(
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, simhash_hex string, bucket string"
     )
+
+
+# ------------------------------------------------- duplicate-cluster resolve
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    fixed_iters: int | None = None,
+    pointer_jumping: bool = True,
+) -> DataFrame:
+    """Duplicate pairs → connected components → keep-one-per-cluster.
+
+    The near-dup detectors (:func:`minhash_lsh_pairs`, SimHash buckets,
+    sign-LSH) emit PAIRS; an actual corpus dedup must drop every TRANSITIVE
+    duplicate (a∼b, b∼c ⇒ drop two of {a,b,c}). This resolves components by
+    min-id label propagation — the standard scalable shape (cf. the
+    large-star/small-star CC algorithm, Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14):
+
+    - per round, every node takes ``min(label, min(neighbor labels))`` —
+      one shuffle on the edge key per round (large-star step);
+    - ``pointer_jumping=True`` adds path-halving (``label = min(label,
+      label(label))``, the small-star step) so convergence needs
+      O(log diameter) rounds instead of O(diameter);
+    - rounds stop when no label changes (checked with a cheap count) or at
+      ``max_iters``. ``fixed_iters`` runs EXACTLY that many neighbor-min
+      rounds with no convergence actions and no pointer jumping — the
+      bit-deterministic mode the driver oracle replays by unrolling the same
+      rounds in SQL (correct whenever the graph diameter < fixed_iters; the
+      convergence-checked mode is the production default).
+
+    ``ids`` (optional, one column named like ``id_a``-less ``doc_id``…
+    any single-column frame) adds isolated documents as singleton clusters.
+
+    Output: ``(doc_id, cluster_id, keep_flag)`` — cluster_id = min doc id of
+    the component, keep_flag marks the representative. Labels only ever
+    shrink, so every step is an associative min — safe under AQE re-plans
+    and partial aggregation; per-round state is one (id, label) row per
+    UNIQUE node, never the pair multiset.
+    """
+    src, dst = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    edges = pairs.select(src, dst).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    labels.count()
+
+    n_rounds = fixed_iters if fixed_iters is not None else max_iters
+    for it in range(n_rounds):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.id == nb_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if fixed_iters is None and pointer_jumping:
+            l2 = new_labels.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            new_labels = (
+                new_labels.join(l2, new_labels.label == l2.p_id, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("p_label", F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        # truncate lineage: each round's frame is small (one row per node)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        if fixed_iters is None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels.unpersist()
+            labels = new_labels
+
+    out = labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep_flag"),
+    )
+    if ids is not None:
+        id_col = ids.columns[0]
+        singletons = (
+            ids.select(F.col(id_col).alias("doc_id"))
+            .join(out.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.col("doc_id").alias("cluster_id"),
+                F.lit(True).alias("keep_flag"),
+            )
+        )
+        out = out.unionByName(singletons)
+    return out

@@ -264,3 +264,81 @@ def test_refine_centroids_improves_or_matches_recall(spark, emb):
 
     r0, r1 = recall(cents0), recall(cents1)
     assert r1 >= r0, (r0, r1)
+
+
+# ------------------------------------------------ duplicate-cluster resolve
+
+
+def test_dup_clusters_transitivity_chain(spark):
+    """a∼b, b∼c, c∼d: all four land in ONE cluster labeled by the min id,
+    exactly one keep_flag — even though no pair connects a to d directly."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = (
+        dedup.resolve_duplicate_clusters(pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    chain = got[got.doc_id <= 4]
+    assert (chain["cluster_id"] == 1).all()
+    assert chain["keep_flag"].sum() == 1
+    assert chain.loc[chain.keep_flag, "doc_id"].iloc[0] == 1
+    pair = got[got.doc_id >= 10]
+    assert (pair["cluster_id"] == 10).all() and pair["keep_flag"].sum() == 1
+
+
+def test_dup_clusters_long_chain_and_fixed_iters(spark):
+    """A 40-node path graph: pointer jumping converges well under max_iters;
+    fixed_iters=3 (no jumping) matches only up to 3-hop reach — verifying
+    the two modes do what they claim."""
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    conv = dedup.resolve_duplicate_clusters(pairs, max_iters=12).toPandas()
+    assert (conv["cluster_id"] == 0).all()
+    assert conv["keep_flag"].sum() == 1
+    fixed = dedup.resolve_duplicate_clusters(pairs, fixed_iters=3).toPandas()
+    lbl = fixed.set_index("doc_id")["cluster_id"]
+    # after k neighbor-min rounds a node's label is the min id within k hops
+    for node in (0, 5, 20, 40):
+        assert lbl[node] == max(0, node - 3)
+
+
+def test_dup_clusters_singletons_and_real_pairs(spark, docs):
+    """End-to-end on the documents table: minhash pairs -> clusters; docs
+    without any near-dup remain singleton keepers; every cluster keeps
+    exactly one doc; cluster members are pairwise-reachable (sanity via
+    networkx-free BFS on the pair list)."""
+    corpus = docs.limit(120)
+    pairs_df = dedup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    got = dedup.resolve_duplicate_clusters(
+        pairs_df, ids=corpus.select("doc_id")
+    ).toPandas()
+    assert len(got) == 120
+    assert got["doc_id"].nunique() == 120
+    # every cluster keeps exactly one
+    per = got.groupby("cluster_id")["keep_flag"].sum()
+    assert (per == 1).all()
+    # python BFS oracle over the same pairs
+    pairs = pairs_df.toPandas()
+    adj = {}
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp = {}
+    for start in sorted(adj):
+        if start in comp:
+            continue
+        stack, seen = [start], {start}
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        for u in seen:
+            comp[u] = min(seen)
+    for r in got.itertuples(index=False):
+        want = comp.get(r.doc_id, r.doc_id)
+        assert r.cluster_id == want, (r.doc_id, r.cluster_id, want)
