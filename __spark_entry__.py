@@ -486,8 +486,16 @@ def q_gorilla_roundtrip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value_avg", F.col("s").cast("double") / F.col("n"))
     )
     # events are sparse (~1 point / 15 min / user): a large chunk span keeps
-    # chunks dense enough that per-chunk decode overhead stays amortized
-    chunks = encode_tier_chunks(t1m, "1m", points_per_chunk=65536)
+    # chunks dense enough that per-chunk decode overhead stays amortized.
+    # Explicit partition count: the encode/decode kernels are Python-side
+    # (cheap bytes, expensive rows), so AQE's bytes-based coalescing would
+    # collapse the exchange to 1 task and serialize both kernels.
+    chunks = encode_tier_chunks(
+        t1m,
+        "1m",
+        points_per_chunk=65536,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return decode_chunks(chunks).select(
         F.col("conv_id").cast("bigint").alias("user_id"),
         "bucket_start",
@@ -1626,6 +1634,7 @@ def q_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_per_series(
         ev, kernel, "conv_id string, step int, yhat double",
         order_col=["ts", "event_id"],
+        batch_buckets=64,
     )
     return out.select(
         F.col("conv_id").cast("bigint").alias("user_id"), "step", "yhat"

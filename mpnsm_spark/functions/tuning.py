@@ -247,6 +247,7 @@ def tune_per_series(
     patience: int = 2,
     metric_specs: Sequence[MetricSpec] | None = None,
     fold_choice: str = "best",
+    batch_buckets: int | None = 64,
 ) -> DataFrame:
     """Grid/ladder hyperparameter search per series over expanding CV folds.
 
@@ -335,6 +336,7 @@ def tune_per_series(
         TUNE_SCHEMA,
         key=key,
         order_col=order_cols,
+        batch_buckets=batch_buckets,
     )
 
 
@@ -389,6 +391,7 @@ def tune_grid_per_series(
     key: str = "conv_id",
     order_col: str = "turn_idx",
     value_col: str = "value",
+    batch_buckets: int | None = 64,
 ) -> DataFrame:
     """Multi-parameter exhaustive grid search per series (reference
     ``ParameterGridHyperparameterTuning``, ``hyperparameter_tuning.py:
@@ -444,6 +447,7 @@ def tune_grid_per_series(
         TUNE_PARAMS_SCHEMA,
         key=key,
         order_col=order_cols,
+        batch_buckets=batch_buckets,
     )
 
 
@@ -462,6 +466,7 @@ def tune_ladder_per_series(
     key: str = "conv_id",
     order_col: str = "turn_idx",
     value_col: str = "value",
+    batch_buckets: int | None = 64,
 ) -> DataFrame:
     """Per-parameter heuristic ladders with the OTHERS FIXED — the
     reference's coordinate-descent tuner (``hyperparameter_tuning.py:
@@ -534,6 +539,7 @@ def tune_ladder_per_series(
         TUNE_PARAMS_SCHEMA,
         key=key,
         order_col=order_cols,
+        batch_buckets=batch_buckets,
     )
 
 
@@ -554,6 +560,7 @@ def cv_fit_predict(
     order_col: str = "turn_idx",
     value_col: str = "value",
     with_debug: bool = False,
+    batch_buckets: int | None = 64,
 ) -> DataFrame:
     """Fold replay (reference ``fit_predictCV``): per fold, fit on the train
     prefix and emit (fold, step, y, yhat) rows — the union-with-fold-column
@@ -594,4 +601,5 @@ def cv_fit_predict(
         CV_PRED_SCHEMA + ", param double, cutoff int" if with_debug else CV_PRED_SCHEMA,
         key=key,
         order_col=order_cols,
+        batch_buckets=batch_buckets,
     )

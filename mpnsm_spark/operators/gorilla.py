@@ -169,7 +169,8 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     return head + _pack_codes(codes.ravel(), lens.ravel())
 
 
-def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
+def _decode_timestamps_scalar(blob: bytes, n: int) -> np.ndarray:
+    """Reference scalar decoder (kept as the vectorized decoder's test twin)."""
     if n == 0:
         return np.empty(0, np.int64)
     first = int.from_bytes(blob[:8], "big", signed=True)
@@ -190,6 +191,75 @@ def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
         cur += delta
         append(cur)
     return np.array(out, dtype=np.int64)
+
+
+def _extract_bits(body: bytes, pos: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """Vectorized variable-length bit-field gather: for each i, the
+    ``nbits[i]``-bit (1..64) big-endian field starting at bit ``pos[i]`` of
+    ``body``. Same windowing trick as :class:`_BitReader`, but as one numpy
+    pass over all fields instead of a Python call per field."""
+    b = np.concatenate([np.frombuffer(body, np.uint8), np.zeros(16, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(b, 8).copy().view(">u8").ravel()
+    q = (pos >> 3).astype(np.int64)
+    r = (pos & 7).astype(np.uint64)
+    w = win[q].astype(np.uint64)
+    fill = b[q + 8].astype(np.uint64) >> (np.uint64(8) - r)  # r==0 -> >>8 -> 0
+    w = np.where(r > 0, (w << r) | fill, w)
+    return w >> (np.uint64(64) - nbits.astype(np.uint64))
+
+
+def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
+    """Two-pass vectorized decode: a light Python scan classifies each token
+    from ONE peeked window (4 bits) and tracks bit positions — the only
+    inherently sequential part of a prefix-coded stream — then payload
+    extraction, zigzag inversion, and the dod→delta→ts double prefix-sum all
+    run as numpy passes. Bit-identical to :func:`_decode_timestamps_scalar`
+    (pinned by tests/test_gorilla.py)."""
+    if n == 0:
+        return np.empty(0, np.int64)
+    first = int.from_bytes(blob[:8], "big", signed=True)
+    if n == 1:
+        return np.array([first], np.int64)
+    body = blob[8:]
+    b = np.concatenate([np.frombuffer(body, np.uint8), np.zeros(16, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(b, 8).copy().view(">u8").ravel().tolist()
+    tail = b.tolist()
+    mask = (1 << 64) - 1
+    idxs: list[int] = []
+    poss: list[int] = []
+    lens: list[int] = []
+    pos = 0
+    for i in range(n - 1):
+        q, r = pos >> 3, pos & 7
+        w = win[q]
+        if r:
+            w = ((w << r) & mask) | (tail[q + 8] >> (8 - r))
+        c = w >> 60  # top 4 bits classify every prefix class
+        if c < 8:  # '0…' : dod == 0
+            pos += 1
+            continue
+        if c < 12:  # '10…' + 9
+            off, vbits = 2, 9
+        elif c < 14:  # '110…' + 12
+            off, vbits = 3, 12
+        elif c == 14:  # '1110' + 16
+            off, vbits = 4, 16
+        else:  # '1111' + 64
+            off, vbits = 4, 64
+        idxs.append(i)
+        poss.append(pos + off)
+        lens.append(vbits)
+        pos += off + vbits
+    dod = np.zeros(n - 1, np.int64)
+    if idxs:
+        z = _extract_bits(body, np.array(poss, np.int64), np.array(lens, np.int64))
+        dod[np.array(idxs, np.int64)] = (z >> _ONE).astype(np.int64) ^ -(
+            (z & _ONE).astype(np.int64)
+        )
+    out = np.empty(n, np.int64)
+    out[0] = first
+    out[1:] = first + np.cumsum(np.cumsum(dod))
+    return out
 
 
 # ---------------------------------------------------------- value encode/decode
@@ -226,7 +296,8 @@ def encode_values(vals: np.ndarray) -> bytes:
     return head + _pack_codes(codes.ravel(), lens.ravel())
 
 
-def decode_values(blob: bytes, n: int) -> np.ndarray:
+def _decode_values_scalar(blob: bytes, n: int) -> np.ndarray:
+    """Reference scalar decoder (kept as the vectorized decoder's test twin)."""
     if n == 0:
         return np.empty(0, np.float64)
     first = int.from_bytes(blob[:8], "big")
@@ -243,6 +314,54 @@ def decode_values(blob: bytes, n: int) -> np.ndarray:
             prev ^= payload << (64 - (hdr >> 6) - mlen)
         append(prev)
     return np.array(out, dtype=np.uint64).view(np.float64)
+
+
+def decode_values(blob: bytes, n: int) -> np.ndarray:
+    """Two-pass vectorized decode of the stateless XOR stream. Pass 1 is a
+    light Python scan — ONE peeked 12-bit window per element classifies
+    control + header and advances the bit cursor (the sequential part). Pass
+    2 is numpy: gather all payloads (:func:`_extract_bits`), left-align them,
+    and reconstruct the value chain with ``bitwise_xor.accumulate`` — the XOR
+    chain is a prefix-scan, so no per-element Python survives. Bit-identical
+    to :func:`_decode_values_scalar` (pinned by tests/test_gorilla.py)."""
+    if n == 0:
+        return np.empty(0, np.float64)
+    first = int.from_bytes(blob[:8], "big")
+    if n == 1:
+        return np.array([first], np.uint64).view(np.float64)
+    body = blob[8:]
+    b = np.concatenate([np.frombuffer(body, np.uint8), np.zeros(16, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(b, 8).copy().view(">u8").ravel().tolist()
+    tail = b.tolist()
+    mask = (1 << 64) - 1
+    idxs: list[int] = []
+    poss: list[int] = []
+    leads: list[int] = []
+    mlens: list[int] = []
+    pos = 0
+    for i in range(n - 1):
+        q, r = pos >> 3, pos & 7
+        w = win[q]
+        if r:
+            w = ((w << r) & mask) | (tail[q + 8] >> (8 - r))
+        c = w >> 52  # control(1) + lead(5) + (mlen-1)(6) in one peek
+        if c < 2048:  # control '0': xor == 0
+            pos += 1
+            continue
+        mlen = (c & 63) + 1
+        idxs.append(i)
+        poss.append(pos + 12)
+        leads.append((c >> 6) & 31)
+        mlens.append(mlen)
+        pos += 12 + mlen
+    xors = np.zeros(n, np.uint64)
+    xors[0] = first
+    if idxs:
+        ml = np.array(mlens, np.int64)
+        payload = _extract_bits(body, np.array(poss, np.int64), ml)
+        shift = (64 - np.array(leads, np.int64) - ml).astype(np.uint64)
+        xors[np.array(idxs, np.int64) + 1] = payload << shift
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
 
 
 # ---------------------------------------------------------------- Spark wiring
@@ -537,22 +656,26 @@ def decode_chunks(chunk_df: DataFrame) -> DataFrame:
 
         tame_arrow_threads()
         for pdf in batches:
-            frames = []
+            if not len(pdf):
+                continue
+            ts_parts = []
+            val_parts = []
             for row in pdf.itertuples(index=False):
-                ts = decode_timestamps(row.ts_blob, row.n_points)
-                vals = decode_values(row.value_blob, row.n_points)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "tier": row.tier,
-                            "bucket_start": pd.to_datetime(ts, unit="s"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                ts_parts.append(decode_timestamps(row.ts_blob, row.n_points))
+                val_parts.append(decode_values(row.value_blob, row.n_points))
+            # one output frame per Arrow batch (np.repeat key expansion), not
+            # one pandas frame + concat per chunk row
+            reps = pdf["n_points"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), reps),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), reps),
+                    "bucket_start": pd.to_datetime(
+                        np.concatenate(ts_parts), unit="s"
+                    ),
+                    "value": np.concatenate(val_parts),
+                }
+            )
 
     schema = "conv_id string, tier string, bucket_start timestamp, value double"
     return chunk_df.mapInPandas(expand, schema)

@@ -111,6 +111,7 @@ def apply_per_series(
     order_col: str = "turn_idx",
     on_error: str = "raise",
     error_acc=None,
+    batch_buckets: int | None = None,
 ) -> DataFrame:
     """Run a pandas kernel once per conversation — mpnsm's flagship operator
     (per-series joblib loop → ``groupBy(conv_id).applyInPandas``).
@@ -127,6 +128,17 @@ def apply_per_series(
     exception yields an empty result for that series only; pass an
     ``error_acc`` (``spark.sparkContext.accumulator(0)``) to count poisoned
     series so the driver can emit ``status='error'`` lineage rows.
+
+    ``batch_buckets`` amortizes the per-group Arrow/Python round-trip for
+    workloads of MANY SMALL series (applyInPandas pays one Arrow transfer and
+    one Python invocation per group — pure overhead when groups are tiny):
+    the shuffle key becomes ``pmod(xxhash64(key), batch_buckets)`` and the
+    kernel wrapper loops series inside one batch with a pandas groupby, so
+    per-series semantics (sort by ``order_col``, per-series error isolation)
+    are preserved exactly while Python is invoked ~#series/batch_buckets
+    times less. Choose batch_buckets ≈ 2-4× total executor cores; mutually
+    exclusive with ``split_threshold`` (hot-series splitting implies groups
+    are big, the opposite regime).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -144,6 +156,46 @@ def apply_per_series(
             if error_acc is not None:
                 error_acc.add(1)
             return pd.DataFrame(columns=empty_cols)
+
+    if batch_buckets is not None:
+        if split_threshold is not None:
+            raise ValueError("batch_buckets and split_threshold are exclusive")
+
+        def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
+
+            tame_arrow_threads()
+            outs = []
+            for _, g in pdf.groupby(key, sort=False):
+                try:
+                    r = fn(g.sort_values(order_col).reset_index(drop=True))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if error_acc is not None:
+                        error_acc.add(1)
+                    continue
+                if len(r):  # zero-row frames would upcast dtypes in concat
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame(columns=empty_cols)
+            return pd.concat(outs, ignore_index=True)
+
+        batched = df.withColumn(
+            "_batch_id",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(batch_buckets)).cast("int"),
+        )
+        # Explicit repartition(batch_buckets): the grouped-map stage's input
+        # is usually SMALL in bytes but expensive per row in Python, and AQE
+        # coalesces small shuffles down to 1-2 partitions — serializing every
+        # kernel call. A user-specified partition count is exempt from AQE
+        # coalescing, and groupBy reuses the hash distribution (no second
+        # exchange).
+        return (
+            batched.repartition(batch_buckets, "_batch_id")
+            .groupBy("_batch_id")
+            .applyInPandas(run_batch, output_schema)
+        )
 
     if split_threshold is None:
         return df.groupBy(key).applyInPandas(run, output_schema)

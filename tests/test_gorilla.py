@@ -160,3 +160,27 @@ def test_encode_frame_matches_per_group():
         assert out["n_points"].iloc[i] == len(st)
         got_ts = decode_timestamps(out["ts_blob"].iloc[i], len(st))
         assert (got_ts == st).all()
+
+
+def test_vectorized_decoders_match_scalar_twins():
+    """The two-pass vectorized decoders must be bit-identical to the scalar
+    reference decoders on every case family (incl. specials and huge dods)."""
+    from mpnsm_spark.operators.gorilla import (
+        _decode_timestamps_scalar,
+        _decode_values_scalar,
+    )
+
+    for name, ts in _ts_cases().items():
+        blob = encode_timestamps(ts)
+        np.testing.assert_array_equal(
+            decode_timestamps(blob, len(ts)),
+            _decode_timestamps_scalar(blob, len(ts)),
+            err_msg=f"ts case {name}",
+        )
+    for name, vals in _val_cases().items():
+        blob = encode_values(vals)
+        np.testing.assert_array_equal(
+            decode_values(blob, len(vals)).view(np.uint64),
+            _decode_values_scalar(blob, len(vals)).view(np.uint64),
+            err_msg=f"value case {name}",
+        )

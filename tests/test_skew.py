@@ -95,3 +95,59 @@ def test_split_rollup_remerge(transcripts):
     full = rollup_raw(transcripts, "1h").toPandas()
     merged = merge_partials(parts).toPandas()
     compare_frames(merged, full, ["conv_id", "bucket_start"], float_cols=FLOATS)
+
+
+def test_batch_buckets_matches_per_series(spark, transcripts):
+    """Bucket-batched kernels must emit exactly the per-series results."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    df = transcripts.select("conv_id", "turn_idx", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n": [len(pdf)],
+                "first_v": [float(pdf["value"].iloc[0])],
+            }
+        )
+
+    schema = "conv_id string, n bigint, first_v double"
+    plain = apply_per_series(df, kern, schema).orderBy("conv_id").collect()
+    batched = (
+        apply_per_series(df, kern, schema, batch_buckets=4)
+        .orderBy("conv_id")
+        .collect()
+    )
+    assert plain == batched
+
+
+def test_batch_buckets_error_isolation(spark, transcripts):
+    """on_error='skip' must poison only the failing series inside a batch."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    df = transcripts.select("conv_id", "turn_idx", "value")
+    poison = df.select("conv_id").distinct().orderBy("conv_id").first()[0]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["conv_id"].iloc[0] == poison:
+            raise RuntimeError("boom")
+        return pd.DataFrame({"conv_id": [pdf["conv_id"].iloc[0]]})
+
+    acc = spark.sparkContext.accumulator(0)
+    out = apply_per_series(
+        df,
+        kern,
+        "conv_id string",
+        batch_buckets=4,
+        on_error="skip",
+        error_acc=acc,
+    ).collect()
+    got = {r[0] for r in out}
+    everyone = {r[0] for r in df.select("conv_id").distinct().collect()}
+    assert got == everyone - {poison}
+    assert acc.value == 1
