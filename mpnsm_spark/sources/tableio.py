@@ -14,7 +14,11 @@ directories plus JSON *manifest* files providing:
 - **read = union of committed snapshots' files** (append semantics).
 
 On a real cluster, set ``iceberg=True`` and pass a catalog-qualified table
-prefix; every call maps 1:1 onto Iceberg operations.
+prefix; every call maps 1:1 onto Iceberg operations. The authoritative
+per-call mapping — including which semantics each pipeline feature relies on
+(atomic commit, zero-copy ``add_files`` adoption, snapshot pinning for
+resume, partition pruning) — is the table in ``ICEBERG.md`` at the repo
+root; validate that table on-cluster before flipping the flag.
 """
 
 from __future__ import annotations
