@@ -45,13 +45,36 @@ def main() -> None:
     print(f"core_ratio={R}  cpu_capacity_ratio={C}  membw_ratio={M}")
     print(f"{'stage':<14}{'lo_wall':>9}{'hi_wall':>9}{'eff_med':>9}{'eff_best':>9}"
           f"{'beta(med)':>11}{'beta(best)':>11}")
+    import statistics
+
     per_stage = d.get("per_stage", {})
-    lo_total = sum(s["lo_wall_median"] for s in per_stage.values())
-    for name, s in sorted(per_stage.items(), key=lambda kv: -kv[1]["lo_wall_median"]):
+
+    def lo_wall(s: dict) -> float:
+        # v4 format ships per-pair triples (same-window); older artifacts
+        # shipped pooled medians. Prefer the certified pairs' median lo wall.
+        if "per_pair" in s:
+            walls = [pp["lo_wall"] for pp in s["per_pair"]
+                     if pp.get("window_certified")] or [
+                pp["lo_wall"] for pp in s["per_pair"]
+            ]
+            return statistics.median(walls)
+        return s["lo_wall_median"]
+
+    def hi_wall(s: dict) -> float:
+        if "per_pair" in s:
+            walls = [pp["hi_wall"] for pp in s["per_pair"]
+                     if pp.get("window_certified")] or [
+                pp["hi_wall"] for pp in s["per_pair"]
+            ]
+            return statistics.median(walls)
+        return s["hi_wall_median"]
+
+    lo_total = sum(lo_wall(s) for s in per_stage.values())
+    for name, s in sorted(per_stage.items(), key=lambda kv: -lo_wall(kv[1])):
         bm = implied_beta(s["efficiency_median"], R, C, M)
         bb = implied_beta(s["efficiency_best"], R, C, M)
         fmt = lambda b: f"{b:.2f}" if b is not None else "-"
-        print(f"{name:<14}{s['lo_wall_median']:>9.1f}{s['hi_wall_median']:>9.1f}"
+        print(f"{name:<14}{lo_wall(s):>9.1f}{hi_wall(s):>9.1f}"
               f"{s['efficiency_median']:>9.2f}{s['efficiency_best']:>9.2f}"
               f"{fmt(bm):>11}{fmt(bb):>11}")
     # weighted composite ceiling: what a PERFECT engine with the same
@@ -67,7 +90,7 @@ def main() -> None:
         # lo-wall share approximate end-to-end efficiency when stages are
         # serial (they are).
         beta_ceiling = sum(
-            per_stage[n]["lo_wall_median"] / lo_total
+            lo_wall(per_stage[n]) / lo_total
             / (R * ((1 - b) / C + b / M))
             for n, b in usable.items()
         )
@@ -75,7 +98,7 @@ def main() -> None:
               f"CPU/membw mix): {beta_ceiling:.3f}")
         print(f"lo-wall-weighted composite of BEST stage efficiencies "
               f"(perfect-engine-on-this-box estimate): "
-              f"{sum(per_stage[n]['lo_wall_median']/lo_total * per_stage[n]['efficiency_best'] for n in per_stage):.3f}")
+              f"{sum(lo_wall(per_stage[n])/lo_total * per_stage[n]['efficiency_best'] for n in per_stage):.3f}")
 
 
 if __name__ == "__main__":
