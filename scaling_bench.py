@@ -627,7 +627,8 @@ def run_standalone_mode(args, tmp: str, bronze: str) -> None:
         hi_r = run_topology(topo_hi, 4, f"hi_p{rep}")
         lo_r = run_topology(topo_lo, 4, f"lo_p{rep}")
         wait_quiet(max_wait_s=120)
-        post_cert, post_ratio = probe_window()
+        _, post_ratio = probe_window()
+        post_cert = post_ratio >= 0.55 * 4  # reject only mid-pair collapse
         eff = (hi_r["turns_per_sec"] / lo_r["turns_per_sec"]) / 4
         ceiling = cap_ratio / 4 if cap_ratio else None
         pairs.append(
@@ -839,7 +840,15 @@ def main() -> None:
             # exit reads teardown noise (~2.6 ratios right after every pair),
             # not the regime.
             wait_quiet(max_wait_s=120)
-            post_cert, post_ratio = certify_window()
+            _, post_ratio = certify_window()
+            # The pair ITSELF drains burst credit, so a full-band post gate
+            # rejects nearly every pair (round-3's 'conservative counts').
+            # The post-probe's job is narrower: detect a catastrophic regime
+            # collapse DURING the pair. Expected post-load readings are
+            # ~0.65-0.75x linear (regime_probe: capacity 0.56-0.75x fresh
+            # right after a drain); readings below 0.55x linear mean the
+            # window died mid-pair and the pair is rejected.
+            post_cert = post_ratio >= 0.55 * core_ratio_req
             eff = (
                 hi_r["turns_per_sec"] / lo_r["turns_per_sec"]
             ) / core_ratio_req
