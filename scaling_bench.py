@@ -122,6 +122,20 @@ def wait_quiet(max_wait_s: float = 900.0, window_s: float = 5.0,
     return last
 
 
+def _warm_session(spark, bronze: str, cores: int) -> None:
+    """Untimed JVM/codegen/shuffle/parquet warm-up, identical at both core
+    counts — the same practice as bench.py's session warmup. Measured cold:
+    the session's FIRST job (the plan_vocab distinct scan, ~4.4 s warm at 4
+    cores) read 8-27 s at 16 cores — C2 JIT compilation contended across 16
+    threads — which anti-scaled a phase that is not pipeline work. A
+    long-running production cluster runs with warm JITs; excluding cold-start
+    from both sides of the pair is what makes lo:hi a scaling measurement."""
+    spark.range(4_000_000).repartition(cores * 2).selectExpr(
+        "sum(id) as s", "count(distinct id % 1024) as d"
+    ).collect()
+    spark.read.parquet(bronze).limit(50_000).select("role", "tool").distinct().collect()
+
+
 def child(bronze: str, cores: int, out_path: str) -> None:
     from mpnsm_spark.plans.pipeline import PipelineConfig, run_pipeline
     from mpnsm_spark.session import get_spark
@@ -139,6 +153,7 @@ def child(bronze: str, cores: int, out_path: str) -> None:
         extra_conf={"spark.local.dir": shm},
     )
     raw = spark.read.parquet(bronze)
+    _warm_session(spark, bronze, cores)
     wh = tempfile.mkdtemp(prefix=f"scal_wh_{cores}_", dir="/dev/shm")
     try:
         with _StealSampler() as steal:
@@ -325,6 +340,7 @@ def child_standalone(
     spark = builder.getOrCreate()
     spark.sparkContext.addPyFile(_package_zip())  # --py-files shipping model
     raw = spark.read.parquet(bronze)
+    _warm_session(spark, bronze, total)
     wh = tempfile.mkdtemp(prefix=f"scal_sa_{n_execs}x{exec_cores}_", dir="/dev/shm")
     try:
         with _StealSampler() as steal:
