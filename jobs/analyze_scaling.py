@@ -69,18 +69,29 @@ def main() -> None:
             return statistics.median(walls)
         return s["hi_wall_median"]
 
+    def eff_median(s: dict) -> float:
+        # ADVICE r4: the lo/hi wall columns already prefer certified pairs;
+        # the efficiency/beta columns must too, or the beta-ceiling analysis
+        # mixes certified walls with uncertified efficiencies.
+        v = s.get("efficiency_median_certified")
+        return v if v is not None else s["efficiency_median"]
+
+    def eff_best(s: dict) -> float:
+        v = s.get("efficiency_best_certified")
+        return v if v is not None else s["efficiency_best"]
+
     lo_total = sum(lo_wall(s) for s in per_stage.values())
     for name, s in sorted(per_stage.items(), key=lambda kv: -lo_wall(kv[1])):
-        bm = implied_beta(s["efficiency_median"], R, C, M)
-        bb = implied_beta(s["efficiency_best"], R, C, M)
+        bm = implied_beta(eff_median(s), R, C, M)
+        bb = implied_beta(eff_best(s), R, C, M)
         fmt = lambda b: f"{b:.2f}" if b is not None else "-"
         print(f"{name:<14}{lo_wall(s):>9.1f}{hi_wall(s):>9.1f}"
-              f"{s['efficiency_median']:>9.2f}{s['efficiency_best']:>9.2f}"
+              f"{eff_median(s):>9.2f}{eff_best(s):>9.2f}"
               f"{fmt(bm):>11}{fmt(bb):>11}")
     # weighted composite ceiling: what a PERFECT engine with the same
     # bandwidth mix would measure end-to-end on this box
     betas = {
-        n: implied_beta(s["efficiency_best"], R, C, M)
+        n: implied_beta(eff_best(s), R, C, M)
         for n, s in per_stage.items()
     }
     usable = {n: min(max(b, 0.0), 1.0) for n, b in betas.items() if b is not None}
@@ -98,7 +109,7 @@ def main() -> None:
               f"CPU/membw mix): {beta_ceiling:.3f}")
         print(f"lo-wall-weighted composite of BEST stage efficiencies "
               f"(perfect-engine-on-this-box estimate): "
-              f"{sum(lo_wall(per_stage[n])/lo_total * per_stage[n]['efficiency_best'] for n in per_stage):.3f}")
+              f"{sum(lo_wall(per_stage[n])/lo_total * eff_best(per_stage[n]) for n in per_stage):.3f}")
 
 
 if __name__ == "__main__":

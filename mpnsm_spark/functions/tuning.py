@@ -247,7 +247,7 @@ def tune_per_series(
     patience: int = 2,
     metric_specs: Sequence[MetricSpec] | None = None,
     fold_choice: str = "best",
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Grid/ladder hyperparameter search per series over expanding CV folds.
 
@@ -391,7 +391,7 @@ def tune_grid_per_series(
     key: str = "conv_id",
     order_col: str = "turn_idx",
     value_col: str = "value",
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Multi-parameter exhaustive grid search per series (reference
     ``ParameterGridHyperparameterTuning``, ``hyperparameter_tuning.py:
@@ -466,7 +466,7 @@ def tune_ladder_per_series(
     key: str = "conv_id",
     order_col: str = "turn_idx",
     value_col: str = "value",
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Per-parameter heuristic ladders with the OTHERS FIXED — the
     reference's coordinate-descent tuner (``hyperparameter_tuning.py:
@@ -560,7 +560,7 @@ def cv_fit_predict(
     order_col: str = "turn_idx",
     value_col: str = "value",
     with_debug: bool = False,
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Fold replay (reference ``fit_predictCV``): per fold, fit on the train
     prefix and emit (fold, step, y, yhat) rows — the union-with-fold-column

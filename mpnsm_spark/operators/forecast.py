@@ -44,7 +44,7 @@ def stepwise_predict(
     b_col: str = "b",
     min_train: int = 3,
     with_debug: bool = False,
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Per-series stepwise walk: ``horizon`` steps, predictions fed back.
 
@@ -116,7 +116,7 @@ def forecast_trend_seasonal(
     value_col: str = "value",
     min_train: int = 8,
     with_debug: bool = False,
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Per-series changepoint-aware OLS trend+seasonal forecast — the
     engine's real model (reference ``model.py:417-442`` fit +

@@ -198,7 +198,7 @@ def changepoints(
     min_distance: int = 3,
     smooth_window: int = 3,
     value_col: str = "value_avg",
-    batch_buckets: int | None = 64,
+    batch_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Top-k changepoints per series with a minimum bucket distance.
 
@@ -214,7 +214,8 @@ def changepoints(
     Only the default ``smooth_window=3`` has the SQL twin.
 
     Changepoint inputs are MANY SMALL series (one tier row per bucket), so by
-    default the kernel is bucket-batched (``batch_buckets=64``): Spark pays
+    default the kernel is bucket-batched (``batch_buckets="auto"`` →
+    2 × defaultParallelism buckets, resolved at call time): Spark pays
     one Arrow/Python round-trip per bucket instead of per series, with
     identical per-series results. Pass ``batch_buckets=None`` for the
     one-group-per-series plan.

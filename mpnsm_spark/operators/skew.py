@@ -111,7 +111,7 @@ def apply_per_series(
     order_col: str = "turn_idx",
     on_error: str = "raise",
     error_acc=None,
-    batch_buckets: int | None = None,
+    batch_buckets: int | str | None = None,
 ) -> DataFrame:
     """Run a pandas kernel once per conversation — mpnsm's flagship operator
     (per-series joblib loop → ``groupBy(conv_id).applyInPandas``).
@@ -134,11 +134,15 @@ def apply_per_series(
     one Python invocation per group — pure overhead when groups are tiny):
     the shuffle key becomes ``pmod(xxhash64(key), batch_buckets)`` and the
     kernel wrapper loops series inside one batch with a pandas groupby, so
-    per-series semantics (sort by ``order_col``, per-series error isolation)
-    are preserved exactly while Python is invoked ~#series/batch_buckets
-    times less. Choose batch_buckets ≈ 2-4× total executor cores; mutually
-    exclusive with ``split_threshold`` (hot-series splitting implies groups
-    are big, the opposite regime).
+    per-series semantics (sort by ``order_col``, per-series error isolation,
+    null-key groups) are preserved exactly while Python is invoked
+    ~#series/batch_buckets times less. Pass the string ``"auto"`` (the public
+    operators' default) to derive ``2 × defaultParallelism`` at call time —
+    a hardcoded count would cap grouped-map parallelism on large clusters
+    (ADVICE r4); 2× leaves headroom for the ~1/e empty-partition rate hash
+    collisions produce at B≈#tasks. Mutually exclusive with
+    ``split_threshold`` (hot-series splitting implies groups are big, the
+    opposite regime).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -157,6 +161,8 @@ def apply_per_series(
                 error_acc.add(1)
             return pd.DataFrame(columns=empty_cols)
 
+    if batch_buckets == "auto":
+        batch_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
     if batch_buckets is not None:
         if split_threshold is not None:
             raise ValueError("batch_buckets and split_threshold are exclusive")
@@ -165,8 +171,15 @@ def apply_per_series(
             from mpnsm_spark.functions.arrowcfg import tame_arrow_threads
 
             tame_arrow_threads()
+            # dropna=False: pandas groupby silently drops null-key groups by
+            # default, but the non-batched Spark groupBy(key) path DOES run
+            # the kernel on the null group — keep the two paths semantically
+            # identical (ADVICE r4). The helper _batch_id column is dropped
+            # before the kernel sees the group, so fn receives exactly the
+            # columns the non-batched path would pass.
+            pdf = pdf.drop(columns=["_batch_id"])
             outs = []
-            for _, g in pdf.groupby(key, sort=False):
+            for _, g in pdf.groupby(key, sort=False, dropna=False):
                 try:
                     r = fn(g.sort_values(order_col).reset_index(drop=True))
                 except Exception:

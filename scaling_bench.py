@@ -518,14 +518,24 @@ def per_stage_table(pairs: list[dict], core_ratio: float) -> dict:
             continue
         effs = [pp["efficiency"] for pp in per_pair]
         cert_effs = [pp["efficiency"] for pp in per_pair if pp["window_certified"]]
+        # efficiency_best restricted to CERTIFIED pairs (VERDICT r4 'What's
+        # wrong' #2: an uncertified pair produced efficiency_best=1.696 —
+        # physically impossible, the exact artifact class the v4 protocol was
+        # built to exclude). Uncertified-only stages fall back with a flag.
         table[st] = {
             "per_pair": per_pair,
             "efficiency_median": round(statistics.median(effs), 3),
             "efficiency_median_certified": (
                 round(statistics.median(cert_effs), 3) if cert_effs else None
             ),
-            "efficiency_best": round(max(effs), 3),
+            "efficiency_best": (
+                round(max(cert_effs), 3) if cert_effs else round(max(effs), 3)
+            ),
+            "efficiency_best_certified": (
+                round(max(cert_effs), 3) if cert_effs else None
+            ),
             "pairs": len(effs),
+            "pairs_certified": len(cert_effs),
         }
     return table
 

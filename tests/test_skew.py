@@ -151,3 +151,57 @@ def test_batch_buckets_error_isolation(spark, transcripts):
     everyone = {r[0] for r in df.select("conv_id").distinct().collect()}
     assert got == everyone - {poison}
     assert acc.value == 1
+
+
+def test_batch_buckets_null_key_and_clean_columns(spark):
+    """ADVICE r4: the batched path must (a) run the kernel on null-key groups
+    exactly like the non-batched Spark groupBy path does, and (b) never leak
+    the _batch_id helper column into the kernel's input frame."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), (None, 0, 5.0), (None, 1, 7.0)],
+        "conv_id string, turn_idx int, value double",
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        assert list(pdf.columns) == ["conv_id", "turn_idx", "value"]
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "vsum": [float(pdf["value"].sum())],
+            }
+        )
+
+    schema = "conv_id string, vsum double"
+    plain = {
+        (r["conv_id"], r["vsum"])
+        for r in apply_per_series(df, kern, schema).collect()
+    }
+    batched = {
+        (r["conv_id"], r["vsum"])
+        for r in apply_per_series(df, kern, schema, batch_buckets=4).collect()
+    }
+    assert plain == batched == {("a", 3.0), (None, 12.0)}
+
+
+def test_batch_buckets_auto_resolves(spark, transcripts):
+    """batch_buckets='auto' derives 2×defaultParallelism at call time and
+    produces per-series-identical results."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.skew import apply_per_series
+
+    df = transcripts.select("conv_id", "turn_idx", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"conv_id": [pdf["conv_id"].iloc[0]], "n": [len(pdf)]})
+
+    schema = "conv_id string, n bigint"
+    auto = apply_per_series(df, kern, schema, batch_buckets="auto")
+    # the resolved bucket count shows up as the shuffle partition count
+    assert auto.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism
+    plain = apply_per_series(df, kern, schema).orderBy("conv_id").collect()
+    assert auto.orderBy("conv_id").collect() == plain
