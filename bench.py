@@ -12,10 +12,26 @@ Two workloads:
    table sized ∝ sf (sf0.1 → 2M turns), pre-materialized to parquet so the
    measurement is engine time, not generator time. Reports rollup throughput
    in turns/sec (BASELINE.md metric).
+
+Certified-window protocol (VERDICT r4 "Next round" #1): this sandbox VM is
+burst-credit throttled and oscillates ±40% minute-to-minute
+(jobs/regime_probe.py); single-pass numbers whipsaw with the host regime, not
+the code (r4 shipped two rows at ~3× their same-day local twins on unchanged
+code). The battery therefore runs BEST-OF-N passes (default 3,
+``SPARK_GRAFT_BENCH_REPS``), each pass gated by scaling_bench v4's absolute
+fixed-work capacity probe: a pass starts only once the box delivers
+≥ ``SPARK_GRAFT_BENCH_GATE_FRAC`` (default 0.93) of the session-max capacity
+— the burst-credit recovery gate — so the recovery sleep between passes is
+automatic, not a fixed timer. Per-query wall is the MIN across passes (the
+reading least polluted by host noise); the per-pass walls and capacity
+readings ship in the JSON's ``bench_protocol`` block so the window is
+auditable. ``SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_GATE=0`` restores the
+old single-pass behavior for quick local iteration.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -24,9 +40,51 @@ import tempfile
 import time
 
 
+def _calibrate_capacity(n: int, samples: int = 3, gap_s: float = 15.0) -> float:
+    """Session-max fixed-work capacity reference. A single sample would make
+    the first gate self-certifying (ratio 1.0 by construction); spreading a
+    few samples across ~30s catches at least one near-fresh reading unless
+    the whole window is drained — and then the per-pass gate keeps waiting,
+    which is the correct behavior."""
+    from scaling_bench import capacity_quick
+
+    best = 0.0
+    for i in range(samples):
+        best = max(best, capacity_quick(n))
+        if i + 1 < samples:
+            time.sleep(gap_s)
+    return best
+
+
+def _gate(n: int, ref: dict, frac: float, max_wait_s: float = 420.0,
+          settle_s: float = 30.0) -> tuple[float, bool]:
+    """Block until absolute n-proc capacity recovers to ≥ frac × session max
+    (scaling_bench.wait_fresh semantics; diagnostics to stderr so stdout
+    stays the contract's single JSON line)."""
+    from scaling_bench import capacity_quick, wait_quiet
+
+    deadline = time.time() + max_wait_s
+    while True:
+        with contextlib.redirect_stdout(sys.stderr):
+            wait_quiet(max_wait_s=60, consecutive=1)
+            cap = capacity_quick(n)
+        ref["max"] = max(ref.get("max", 0.0), cap)
+        ratio = cap / ref["max"]
+        print(f"bench gate n={n}: cap={cap:,.0f} ratio={ratio:.3f} "
+              f"(need {frac})", file=sys.stderr, flush=True)
+        if ratio >= frac:
+            return ratio, True
+        if time.time() > deadline:
+            return ratio, False
+        time.sleep(settle_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    gating = os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0"
+    gate_frac = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_FRAC", "0.93"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -51,7 +109,6 @@ def main() -> None:
     spark = get_spark(
         "bench", cores=cpus, shuffle_partitions=max(cpus, 8), extra_conf=extra
     )
-    queries: dict[str, float] = {}
 
     # Untimed warmup: the session's FIRST jobs pay one-time costs (parquet
     # datasource + output committer init, JIT, codegen warm) that previously
@@ -64,15 +121,14 @@ def main() -> None:
         "count(*) as c"
     ).write.format("noop").mode("overwrite").save()
 
-    for name, fn in em.queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
-
-    # ---- flagship pipeline on synthetic transcripts sized by sf ------------
+    # Pipeline input: generated ONCE, reused by every pass (generator time is
+    # not engine time).
     turns = max(20_000, int(20_000_000 * sf))
     convs = max(50, turns // 100)
     tmp = tempfile.mkdtemp(prefix="bench_", dir="/dev/shm" if shm_ok else None)
+    ref: dict = {}
+    if gating:
+        ref["max"] = _calibrate_capacity(cpus)
     try:
         bronze = os.path.join(tmp, "bronze")
         generate_transcripts(
@@ -81,17 +137,49 @@ def main() -> None:
         ).write.mode("overwrite").parquet(bronze)
         raw = spark.read.parquet(bronze)
         cfg = PipelineConfig(
-            num_buckets=max(cpus, 8), points_per_chunk=4096, gapfill_tiers=("1h", "1d")
+            num_buckets=max(cpus, 8), points_per_chunk=4096,
+            gapfill_tiers=("1h", "1d"),
         )
-        t0 = time.time()
-        summary = run_pipeline(spark, raw, TableIO(os.path.join(tmp, "wh")), cfg)
-        pipeline_sec = time.time() - t0
-        queries["pipeline_full"] = round(pipeline_sec, 3)
-        turns_per_sec = summary["input_turns"] / pipeline_sec
+
+        passes: list[dict] = []
+        per_query: dict[str, float] = {}
+        pipeline_best = float("inf")
+        input_turns = 0
+        for rep in range(max(reps, 1)):
+            if gating:
+                pre_ratio, pre_ok = _gate(cpus, ref, gate_frac)
+            else:
+                pre_ratio, pre_ok = 1.0, True
+            qtimes: dict[str, float] = {}
+            for name, fn in em.queries().items():
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                qtimes[name] = round(time.time() - t0, 3)
+            wh = os.path.join(tmp, f"wh{rep}")
+            t0 = time.time()
+            summary = run_pipeline(spark, raw, TableIO(wh), cfg)
+            pipeline_sec = time.time() - t0
+            qtimes["pipeline_full"] = round(pipeline_sec, 3)
+            input_turns = summary["input_turns"]
+            pipeline_best = min(pipeline_best, pipeline_sec)
+            shutil.rmtree(wh, ignore_errors=True)
+            for name, sec in qtimes.items():
+                per_query[name] = min(per_query.get(name, float("inf")), sec)
+            passes.append(
+                {
+                    "total": round(sum(qtimes.values()), 3),
+                    "pre_capacity_ratio": round(pre_ratio, 3),
+                    "gate_certified": pre_ok,
+                }
+            )
+            print(f"bench pass {rep + 1}/{reps}: total={passes[-1]['total']}s "
+                  f"gate_ratio={pre_ratio:.3f}", file=sys.stderr, flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    queries = {k: round(v, 3) for k, v in per_query.items()}
     total = round(sum(queries.values()), 3)
+    turns_per_sec = input_turns / pipeline_best if pipeline_best else 0.0
     print(
         json.dumps(
             {
@@ -101,8 +189,15 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "cpus": cpus,
-                "pipeline_turns": summary["input_turns"],
+                "pipeline_turns": input_turns,
                 "rollup_turns_per_sec": round(turns_per_sec, 1),
+                "bench_protocol": {
+                    "reps": max(reps, 1),
+                    "aggregate": "per_query_min",
+                    "gate": "absolute fixed-work capacity >= "
+                            f"{gate_frac} x session max" if gating else "off",
+                    "passes": passes,
+                },
             }
         )
     )
