@@ -131,7 +131,7 @@ def save_model_states(
 
 def load_model_states(
     spark: SparkSession, tio: TableIO, table: str = "models",
-    target: str | None = None,
+    target: str | None = None, key_col: str = "conv_id",
 ) -> DataFrame:
     """Newest fitted state per (key, target) across snapshots.
 
@@ -158,7 +158,9 @@ def load_model_states(
         allv = allv.filter(F.col("target") == target)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id", "target").orderBy(F.col("_v").desc())
+    # ``key_col`` lets stores written under a different series key (e.g. the
+    # manager's composite ``_unit_id``) reuse the same max-version scan.
+    w = Window.partitionBy(key_col, "target").orderBy(F.col("_v").desc())
     return (
         allv.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
