@@ -168,6 +168,96 @@ class KernelStage:
     split_threshold: int | None = None
 
 
+FORECAST_STAGE_SCHEMA = (
+    "conv_id string, step int, yhat double, n_train int, "
+    "coef_names array<string>, coef_values array<double>"
+)
+
+
+def ols_forecast_stage(
+    name: str = "forecast",
+    source: str = "1m",
+    value_col: str = "value_avg",
+    order_col: str = "bucket_start",
+    horizon: int = 12,
+    model_kwargs: dict | None = None,
+    min_train: int = 8,
+) -> KernelStage:
+    """The pipeline's DEFAULT forecast stage: the REAL per-series model
+    (:class:`~mpnsm_spark.functions.model.TrendSeasonalOLS` — changepoint-
+    aware trend + seasonal OLS), not a surrogate, fit on a tier's value
+    column with the fitted coefficients cross-joined onto every forecast row
+    — the reference's coefficient-enriched forecast output
+    (``/root/reference/mpnsm/time_series/manager.py:287-292``:
+    ``regressor_coefficients(fcst)`` merged onto the saved results;
+    ``model.py:194-222``).
+
+    Because :func:`run_kernel_stage` snapshot-versions the stage's output
+    table and stamps per-bucket lineage, every fitted series' coefficients
+    are durably recorded per run — the model-lineage record
+    (``read_forecast_models`` extracts the one-row-per-series view).
+    """
+    from mpnsm_spark.functions.model import TrendSeasonalOLS
+
+    kwargs = dict(model_kwargs or {})
+    import numpy as _np
+    import pandas as _pd
+
+    def kernel(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        vals = pdf[value_col].to_numpy(_np.float64)
+        cols = [
+            "conv_id", "step", "yhat", "n_train", "coef_names", "coef_values",
+        ]
+        if len(vals) < min_train:
+            return _pd.DataFrame({c: [] for c in cols}).astype(
+                {"step": "int32", "yhat": float, "n_train": "int32"}
+            )
+        m = TrendSeasonalOLS(**kwargs).fit(vals)
+        coefs = m.coefficients()
+        names = list(coefs)
+        return _pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "step": _np.arange(1, horizon + 1, dtype=_np.int32),
+                "yhat": m.predict(horizon),
+                "n_train": _np.int32(len(vals)),
+                "coef_names": [names] * horizon,
+                "coef_values": [[float(coefs[n]) for n in names]] * horizon,
+            }
+        )
+
+    return KernelStage(
+        name=name,
+        fn=kernel,
+        output_schema=FORECAST_STAGE_SCHEMA,
+        source=source,
+        order_col=order_col,
+    )
+
+
+def read_forecast_models(
+    spark: SparkSession, io: TableIO, name: str = "forecast"
+) -> DataFrame:
+    """One row per fitted series from the forecast stage's versioned output:
+    (conv_id, n_train, coef_names, coef_values) — the per-series model
+    lineage (latest snapshot wins on resume re-runs)."""
+    df = io.read(spark, name)
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.max_by(
+                F.struct("n_train", "coef_names", "coef_values"), F.col("_v")
+            ).alias("_m")
+        )
+        .select(
+            "conv_id",
+            F.col("_m.n_train").alias("n_train"),
+            F.col("_m.coef_names").alias("coef_names"),
+            F.col("_m.coef_values").alias("coef_values"),
+        )
+    )
+
+
 @dataclass
 class PipelineConfig:
     num_buckets: int = 16

@@ -364,3 +364,51 @@ def test_kernel_stage_split_with_bucket_start_default(spark, transcripts, tmp_pa
         tier.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
     )
     assert got.sort_index().equals(want.sort_index().astype(got.dtype))
+
+
+def test_pipeline_default_forecast_stage_coefficients_in_lineage(
+    spark, transcripts, tmp_path
+):
+    """The pipeline's default forecast stage is the REAL model
+    (TrendSeasonalOLS via ols_forecast_stage, not a surrogate): running it as
+    a kernel stage records every fitted series' coefficients in the versioned
+    stage table, and read_forecast_models exposes one coefficient row per
+    fitted series that matches a local refit bitwise."""
+    import numpy as np
+
+    from mpnsm_spark.functions.model import TrendSeasonalOLS
+    from mpnsm_spark.plans.pipeline import ols_forecast_stage, read_forecast_models
+
+    io = TableIO(str(tmp_path / "whf"))
+    stage = ols_forecast_stage(
+        horizon=5, min_train=5, model_kwargs={"n_changepoints": 2}
+    )
+    summary = run_pipeline(spark, transcripts, io, _cfg(kernel_stages=(stage,)))
+    assert summary["kernel_stages"]["forecast"]["buckets_error"] == {}
+
+    tier = read_tier(spark, io, "1m").toPandas().sort_values(
+        ["conv_id", "bucket_start"]
+    )
+    sizes = tier.groupby("conv_id").size()
+    fitted_expected = set(sizes[sizes >= 5].index)
+
+    models = read_forecast_models(spark, io).toPandas().set_index("conv_id")
+    # every fitted series has a coefficient row in the persisted model lineage
+    assert set(models.index) == fitted_expected
+    assert (models["coef_names"].str.len() > 0).all()
+
+    fc = io.read(spark, "forecast").toPandas()
+    for conv, g in tier.groupby("conv_id"):
+        if conv not in fitted_expected:
+            continue
+        m = TrendSeasonalOLS(n_changepoints=2).fit(
+            g["value_avg"].to_numpy(np.float64)
+        )
+        row = models.loc[conv]
+        coefs = m.coefficients()
+        assert list(row["coef_names"]) == list(coefs)
+        assert (
+            np.asarray(row["coef_values"]) == np.array(list(coefs.values()))
+        ).all()
+        got = fc[fc["conv_id"] == conv].sort_values("step")["yhat"].to_numpy()
+        assert (got == m.predict(5)).all()
