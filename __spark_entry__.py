@@ -2065,6 +2065,89 @@ FROM accepted a JOIN scored s ON s.conv_id = a.conv_id AND s.idx = a.idx
 """
 
 
+def q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-generation seam (operators/embed.py): documents.text →
+    16-dim feature-hashed vector via one mapInPandas pass (the real-encoder
+    swap point sits behind strict=True). Exploded to (doc_id, slot, val) so
+    the driver's value hash covers every component bitwise."""
+    from mpnsm_spark.operators.embed import embed_text
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text(docs, id_col="doc_id", text_col="text", dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("slot", "val")
+    )
+
+
+def _sql_embed_docs() -> str:
+    from mpnsm_spark.operators.embed import sql_embed_cte
+
+    return f"""
+WITH {sql_embed_cte(dim=16)}
+SELECT id AS doc_id, CAST(s.s - 1 AS INT) AS slot, embedding[s.s] AS val
+FROM vecs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS s) s
+"""
+
+
+def q_embed_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data near-dup chain from RAW TEXT: documents.text →
+    hashed embeddings (operators/embed.py) → sign-LSH bucket join + exact
+    rounded cosine ≥ 0.99 (operators/similarity.py) → min-id label
+    propagation with fixed_iters=4 (operators/dedup.py) so the oracle
+    replays the identical four neighbor-min rounds as unrolled CTEs.
+    Output: every document with its duplicate-cluster id and keep flag."""
+    from mpnsm_spark.operators.dedup import resolve_duplicate_clusters
+    from mpnsm_spark.operators.embed import embed_text
+    from mpnsm_spark.operators.similarity import cosine_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text(docs, id_col="doc_id", text_col="text", dim=16)
+    pairs = cosine_near_dup_pairs(
+        emb, dim=16, threshold=0.99, n_planes=8,
+        id_col="doc_id", vec_col="embedding",
+    )
+    return resolve_duplicate_clusters(
+        pairs, ids=docs.select("doc_id"), fixed_iters=4
+    )
+
+
+def _sql_embed_clusters(n_planes: int = 8, threshold: float = 0.99) -> str:
+    from mpnsm_spark.operators.embed import sql_embed_cte
+    from mpnsm_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(16, j) for j in range(n_planes)]
+    sign_bits = " || ".join(
+        "(CASE WHEN round(list_dot_product(embedding, ["
+        + ", ".join(f"{x!r}" for x in p)
+        + "]), 6) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = _SQL_COS.format(a="a.embedding", b="b.embedding")
+    return (
+        f"""
+WITH {sql_embed_cte(dim=16)}, tagged AS (
+  SELECT id, embedding, {sign_bits} AS bucket FROM vecs
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE {cos} >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+),"""
+        + ",".join(_ROUND_CC.format(i=i, p=i - 1) for i in range(1, 5))
+        + """
+SELECT id AS doc_id, label AS cluster_id, id = label AS keep_flag FROM l4
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep_flag
+FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM l0)
+"""
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2116,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "ols_forecast": q_ols_forecast,
         "hyperparam_multimetric": q_hyperparam_multimetric,
+        "embed_docs": q_embed_docs,
+        "embed_near_dup_clusters": q_embed_near_dup_clusters,
     }
 
 
@@ -2167,4 +2252,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "ols_forecast": SQL_OLS_FORECAST,
         "hyperparam_multimetric": SQL_HYPERPARAM_MULTI,
+        "embed_docs": _sql_embed_docs(),
+        "embed_near_dup_clusters": _sql_embed_clusters(),
     }

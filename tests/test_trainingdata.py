@@ -342,3 +342,62 @@ def test_dup_clusters_singletons_and_real_pairs(spark, docs):
     for r in got.itertuples(index=False):
         want = comp.get(r.doc_id, r.doc_id)
         assert r.cluster_id == want, (r.doc_id, r.cluster_id, want)
+
+
+# ------------------------------------------------------------------ embed ---
+
+
+def test_embed_text_schema_and_determinism(spark, docs):
+    from mpnsm_spark.operators.embed import embed_text
+
+    out = embed_text(docs, dim=16)
+    assert out.columns == ["doc_id", "embedding"]
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+    a = out.orderBy("doc_id").limit(20).toPandas()
+    b = embed_text(docs, dim=16).orderBy("doc_id").limit(20).toPandas()
+    for x, y in zip(a["embedding"], b["embedding"]):
+        assert list(x) == list(y)
+    # unit-norm to the 6dp quantization, or all-zero for empty text
+    for v in a["embedding"]:
+        n = float(np.dot(v, v))
+        assert n == 0.0 or abs(n - 1.0) < 1e-4
+
+
+def test_embed_text_matches_python_oracle(spark, docs):
+    from mpnsm_spark.operators.embed import _hashed_embedding, embed_text
+
+    pdf = docs.select("doc_id", "text").orderBy("doc_id").limit(30).toPandas()
+    got = (
+        embed_text(docs, dim=16)
+        .join(docs.select("doc_id").orderBy("doc_id").limit(30), "doc_id", "left_semi")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    for (_, r), (_, g) in zip(pdf.iterrows(), got.iterrows()):
+        want = _hashed_embedding(r["text"], 16).tolist()
+        assert list(g["embedding"]) == want, r["doc_id"]
+
+
+def test_embed_near_identical_texts_are_near(spark):
+    from mpnsm_spark.operators.embed import _hashed_embedding
+
+    a = _hashed_embedding("the quick brown fox jumps over the lazy dog", 16)
+    b = _hashed_embedding("the quick brown fox jumps over the lazy dog today", 16)
+    c = _hashed_embedding("completely unrelated words entirely different topic", 16)
+    cos_ab = float(np.dot(a, b))
+    cos_ac = float(np.dot(a, c))
+    assert cos_ab > 0.9 and cos_ab > cos_ac
+
+
+def test_embed_strict_raises(spark, docs):
+    from mpnsm_spark.operators.embed import embed_text
+
+    with pytest.raises(Exception, match="real text encoder"):
+        embed_text(docs, dim=384, strict=True).collect()
+
+
+def test_embed_dim_guard():
+    from mpnsm_spark.operators.embed import embed_text
+
+    with pytest.raises(ValueError, match="dim <= 16"):
+        embed_text(None, dim=384, strict=False)
