@@ -26,23 +26,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mpnsm_spark.operators.rollup import rollup_raw, tool_mask_expr, tools_from_mask
+from mpnsm_spark.operators.rollup import (
+    _combine,
+    rollup_raw,
+    tool_mask_expr,
+    tools_from_mask,
+)
+
+_TIER_COLS = (
+    "turn_count",
+    "first_turn_idx",
+    "last_turn_idx",
+    "n_user",
+    "n_assistant",
+    "n_system",
+    "n_tool",
+    "tools",
+    "distinct_tools",
+    "value_sum",
+    "value_min",
+    "value_max",
+    "value_avg",
+    "first_value",
+    "last_value",
+)
 
 
-def streaming_rollup_1m(
+def _windowed_1m(
     stream_df: DataFrame,
-    watermark: str = "10 minutes",
-    tool_vocab: list[str] | None = None,
+    watermark: str,
+    tool_vocab: list[str] | None,
 ) -> DataFrame:
-    """Streaming 1m tier aggregation (append mode once the watermark passes).
-
-    ``stream_df`` must be a streaming DataFrame with the transcript schema
-    plus ``value``. Output schema matches the batch tier table. Pass
-    ``tool_vocab`` so the distinct-tool set aggregates as a fixed-width
-    ``bit_or`` bitmask (same dictionary as the batch pipeline — streaming
-    can't scan its own input for a vocabulary); without it the state store
-    falls back to collect_set and the ``tools_mask`` column is omitted.
-    """
+    """1m streaming aggregation keeping the ``win`` window struct (the
+    cascade re-windows on it; :func:`streaming_rollup_1m` projects it away)."""
     w = F.window("ts", "1 minute")
     base = stream_df.withWatermark("ts", watermark)
 
@@ -79,26 +95,114 @@ def streaming_rollup_1m(
         out = out.withColumn("distinct_tools", F.size("tools"))
     return out.withColumn(
         "value_avg", F.col("value_sum") / F.col("turn_count")
-    ).select(
+    ).select("conv_id", "win", *_TIER_COLS, *mask_cols)
+
+
+def streaming_rollup_1m(
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    tool_vocab: list[str] | None = None,
+) -> DataFrame:
+    """Streaming 1m tier aggregation (append mode once the watermark passes).
+
+    ``stream_df`` must be a streaming DataFrame with the transcript schema
+    plus ``value``. Output schema matches the batch tier table. Pass
+    ``tool_vocab`` so the distinct-tool set aggregates as a fixed-width
+    ``bit_or`` bitmask (same dictionary as the batch pipeline — streaming
+    can't scan its own input for a vocabulary); without it the state store
+    falls back to collect_set and the ``tools_mask`` column is omitted.
+    """
+    out = _windowed_1m(stream_df, watermark, tool_vocab)
+    return out.select(
         "conv_id",
         F.col("win.start").alias("bucket_start"),
-        "turn_count",
-        "first_turn_idx",
-        "last_turn_idx",
-        "n_user",
-        "n_assistant",
-        "n_system",
-        "n_tool",
-        "tools",
-        "distinct_tools",
-        "value_sum",
-        "value_min",
-        "value_max",
-        "value_avg",
-        "first_value",
-        "last_value",
-        *mask_cols,
+        *[c for c in out.columns if c not in ("conv_id", "win")],
     )
+
+
+_CASCADE_DUR = {"1h": "1 hour", "1d": "1 day"}
+_CASCADE_PARENT = {"1h": "1m", "1d": "1h"}
+
+
+def streaming_cascade(
+    stream_df: DataFrame,
+    to_tier: str = "1d",
+    watermark: str = "10 minutes",
+    tool_vocab: list[str] | None = None,
+) -> DataFrame:
+    """The full 1m→1h(→1d) tier cascade as ONE watermark-correct streaming
+    job (chained stateful window aggregations, Spark 3.4+ multiple-stateful-
+    operator support).
+
+    Each stage re-windows the previous tier's window struct on its event
+    time (``window(window_time(win), parent_duration)``) and combines with
+    the SAME associative expressions as the batch :func:`~mpnsm_spark.
+    operators.rollup.cascade` (``_combine``), so the streaming output is
+    row-identical to cascading the batch tiers — the tier-consistency
+    invariant (FIXTURES.md §2) extends to streaming. Watermark semantics
+    chain naturally: a 1m window finalizes when the source watermark passes
+    its end; a 1h window finalizes when every child 1m window has finalized;
+    likewise 1d — so append mode emits each coarse bucket exactly once, only
+    when it can no longer change.
+
+    ``tool_vocab`` is REQUIRED: the distinct-tool union must ride a
+    fixed-width ``bit_or`` mask through every stage — per-stage collect_set
+    state is unbounded and non-associative across re-windows.
+
+    Scale notes: state is (convs with open windows) rows per stage; the 1h
+    and 1d stages see ~60× / ~1440× fewer input rows than the source, so the
+    cascade's marginal state and shuffle are a rounding error on the 1m
+    stage. Reference analog: none (the reference is batch-only,
+    SURVEY.md §2.9); batch twin is operators/rollup.py ``rollup_tiers``.
+    """
+    if to_tier not in _CASCADE_DUR:
+        raise ValueError(f"to_tier must be one of {sorted(_CASCADE_DUR)}")
+    if tool_vocab is None:
+        raise ValueError("streaming_cascade requires tool_vocab (bit_or mask state)")
+    tiers = ["1h"] if to_tier == "1h" else ["1h", "1d"]
+    agg = _windowed_1m(stream_df, watermark, tool_vocab)
+    for tier in tiers:
+        grouped = agg.groupBy(
+            "conv_id",
+            F.window(F.window_time("win"), _CASCADE_DUR[tier]).alias("win"),
+        )
+        agg = _combine(grouped, tool_vocab, tools_arrays=False).select(
+            "conv_id", "win", *_TIER_COLS, "tools_mask"
+        )
+    return agg.select(
+        "conv_id", F.col("win.start").alias("bucket_start"), *_TIER_COLS, "tools_mask"
+    )
+
+
+def run_cascade_to_memory(
+    spark,
+    stream_df: DataFrame,
+    to_tier: str = "1d",
+    tool_vocab: list[str] | None = None,
+    watermark: str = "10 minutes",
+    query_name: str = "tier_cascade_stream",
+) -> DataFrame:
+    """Drive a finite source through the chained cascade and return the
+    materialized result (test harness).
+
+    Chained stateful aggregations forbid ``complete`` mode, so this runs
+    APPEND mode: only watermark-finalized buckets emit. Finite replays must
+    therefore ship a flush sentinel (a row far enough in the future to close
+    every real window — the caller filters it out); without one the final
+    open buckets are absent by design.
+    """
+    agg = streaming_cascade(
+        stream_df, to_tier=to_tier, watermark=watermark, tool_vocab=tool_vocab
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def run_stream_to_memory(

@@ -3,6 +3,8 @@
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from mpnsm_spark.generator import generate_transcripts, with_value
 from mpnsm_spark.schema import TRANSCRIPT_SCHEMA
 from mpnsm_spark.streaming.rollup_stream import batch_equivalent, run_stream_to_memory
@@ -314,3 +316,89 @@ def test_streaming_gapfill_multi_arrow_chunk_group(spark, tmp_path):
     )
     assert len(got) == len(want) == 19  # hours 0..18 inclusive
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_cascade_equals_batch(spark):
+    """1m→1h→1d as ONE chained stateful streaming job: finite replay across
+    micro-batch boundaries (maxFilesPerTrigger=1) equals the batch cascade.
+    Append mode only emits watermark-finalized buckets, so a far-future flush
+    sentinel closes every real window; sentinel rows are filtered out."""
+    import pandas as pd
+
+    from mpnsm_spark.operators.rollup import cascade, distinct_tool_vocab, rollup_raw
+    from mpnsm_spark.streaming.rollup_stream import run_cascade_to_memory
+
+    raw = with_value(
+        generate_transcripts(spark, n_convs=12, n_turns=900, seed=7)
+    ).cache()
+    vocab = distinct_tool_vocab(raw)
+    max_ts = raw.agg({"ts": "max"}).collect()[0][0]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "cascade_src")
+        import time
+
+        # chronological arrival waves: append mode DROPS rows later than the
+        # watermark, so a faithful replay must deliver files in time order
+        # (the module's streaming-consistency contract: "provided no row is
+        # later than the watermark")
+        bounds = raw.select(
+            F.unix_timestamp("ts").cast("double").alias("e")
+        ).approxQuantile("e", [0.25, 0.5, 0.75], 0.0)
+        lo = None
+        for hi in [*bounds, None]:
+            wave = raw.drop("value")
+            if lo is not None:
+                wave = wave.filter(F.unix_timestamp("ts") > lo)
+            if hi is not None:
+                wave = wave.filter(F.unix_timestamp("ts") <= hi)
+            wave.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)  # strictly increasing mtimes → in-order replay
+            lo = hi
+        # one flush file per chained stage: window finalization propagates
+        # one stateful operator per micro-batch, so each successive flush
+        # batch pushes eviction one stage deeper down the cascade
+        for k in (3, 6, 9):
+            flush_pdf = pd.DataFrame(
+                [("__flush__", k, "user", "x", None, max_ts + pd.Timedelta(days=k))],
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+            time.sleep(1.1)  # strictly newer mtime → processed later
+            spark.createDataFrame(
+                flush_pdf, schema=TRANSCRIPT_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+        for tier, n_batches_expected in (("1h", None), ("1d", None)):
+            stream = (
+                spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            got = (
+                run_cascade_to_memory(
+                    spark,
+                    with_value(stream),
+                    to_tier=tier,
+                    tool_vocab=vocab,
+                    query_name=f"cascade_{tier}_test",
+                )
+                .filter("conv_id <> '__flush__'")
+                .toPandas()
+            )
+            t1m = rollup_raw(raw, "1m", vocab)
+            want = cascade(t1m, "1h", vocab)
+            if tier == "1d":
+                want = cascade(want, "1d", vocab)
+            compare_frames(
+                got, want.toPandas(), ["conv_id", "bucket_start"], float_cols=FLOATS
+            )
+
+
+def test_streaming_cascade_requires_vocab(spark):
+    import pytest
+
+    from mpnsm_spark.streaming.rollup_stream import streaming_cascade
+
+    with pytest.raises(ValueError, match="tool_vocab"):
+        streaming_cascade(None, to_tier="1d", tool_vocab=None)
+    with pytest.raises(ValueError, match="to_tier"):
+        streaming_cascade(None, to_tier="1w", tool_vocab=["a"])
