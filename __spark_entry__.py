@@ -1689,6 +1689,107 @@ FROM preds
 """
 
 
+def q_manager_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven manager end-to-end (reference one-call ergonomics,
+    ``/root/reference/mpnsm/time_series/manager.py:20-39, 135-149``) as an
+    EXACT driver row: a two-level declarative config — root entry horizon 5,
+    cohort-'1' override horizon 3 with ``targets`` field-inherited from the
+    root — resolves via broadcast config inheritance (operators/config.py),
+    then ``run_manager`` executes each distinct resolved config as ONE
+    kernel stage (resume + error lineage) with the SQL-replayable
+    ``linear_hinge`` forecaster. The oracle replays unit resolution
+    (``user_id % 3``), the Cramer's-rule fit under the decimal contract,
+    and the per-cohort horizon; output rounded half-away-from-zero at 6dp."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from mpnsm_spark.plans.manager import run_manager
+    from mpnsm_spark.sources.tableio import TableIO
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    seq = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    df = ev.withColumn("seq", seq).withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(3)).cast("string")
+    )
+    config = [
+        {
+            "unit": {},
+            "horizon": 5,
+            "targets": [
+                {"target_col": "value", "model": {"forecaster": "linear_hinge"}}
+            ],
+        },
+        {"unit": {"cohort": "1"}, "horizon": 3},
+    ]
+    io = TableIO(tempfile.mkdtemp(prefix="mgr_row_"))
+    res = run_manager(
+        spark, df, io, config, group_columns=["cohort", "user_id"],
+        order_col="seq",
+    )
+    fc = res.forecasts(spark, io)
+    yq = F.when(
+        F.col("yhat") >= 0, F.floor(F.col("yhat") * 1e6 + F.lit(0.5))
+    ).otherwise(F.ceil(F.col("yhat") * 1e6 - F.lit(0.5)))
+    return fc.select(
+        F.split("_unit_id", "\x1f").getItem(1).alias("user_id"),
+        F.col("step").cast("int").alias("step"),
+        (yq / 1e6 + F.lit(0.0)).alias("yhat"),
+    )
+
+
+SQL_MANAGER_FORECAST = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), kk AS (
+  SELECT user_id, max(n) AS n, CAST(floor(max(n) * 0.5) AS BIGINT) AS k,
+         CASE WHEN user_id % 3 = 1 THEN 3 ELSE 5 END AS horizon
+  FROM ordered GROUP BY user_id HAVING max(n) >= 8
+), mom AS (
+  SELECT o.user_id, kk.n, kk.k, kk.horizon,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(o.t) AS DOUBLE) AS st,
+         CAST(sum(o.t * o.t) AS DOUBLE) AS stt,
+         CAST(sum(greatest(o.t - kk.k, 0)) AS DOUBLE) AS sh,
+         CAST(sum(o.t * greatest(o.t - kk.k, 0)) AS DOUBLE) AS sth,
+         CAST(sum(greatest(o.t - kk.k, 0) * greatest(o.t - kk.k, 0)) AS DOUBLE) AS shh,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6)) * o.t) AS DOUBLE) AS sty,
+         CAST(sum(CAST(o.value AS DECIMAL(20,6)) * greatest(o.t - kk.k, 0)) AS DOUBLE) AS shy
+  FROM ordered o JOIN kk ON kk.user_id = o.user_id
+  GROUP BY o.user_id, kk.n, kk.k, kk.horizon
+), beta AS (
+  SELECT user_id, n, k, horizon,
+         (nn * (stt * shh - sth * sth) - st * (st * shh - sth * sh)
+            + sh * (st * sth - stt * sh)) AS det,
+         (sy * (stt * shh - sth * sth) - st * (sty * shh - sth * shy)
+            + sh * (sty * sth - stt * shy)) AS n0,
+         (nn * (sty * shh - sth * shy) - sy * (st * shh - sth * sh)
+            + sh * (st * shy - sty * sh)) AS n1,
+         (nn * (stt * shy - sty * sth) - st * (st * shy - sty * sh)
+            + sy * (st * sth - stt * sh)) AS n2
+  FROM mom
+), preds AS (
+  SELECT b.user_id, s.step,
+         (n0 / det)
+           + (n1 / det) * CAST(b.n + s.step - 1 AS DOUBLE)
+           + (n2 / det) * greatest(CAST(b.n + s.step - 1 - b.k AS DOUBLE), 0.0)
+           AS raw
+  FROM beta b CROSS JOIN (SELECT unnest(range(1, 6)) AS step) s
+  WHERE s.step <= b.horizon
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, CAST(step AS INT) AS step,
+       CASE WHEN raw >= 0 THEN floor(raw * 1e6 + 0.5)
+            ELSE ceil(raw * 1e6 - 0.5) END / 1e6 + 0.0 AS yhat
+FROM preds
+"""
+
+
 def q_hyperparam_multimetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-metric convergence walk (reference CombinedMetric tolerances,
     metrics.py:301-380 + the :96-145 stop rule): the multiplicative ladder
@@ -2198,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stepwise_predict": q_stepwise_predict,
         "dup_clusters": q_dup_clusters,
         "ols_forecast": q_ols_forecast,
+        "manager_forecast": q_manager_forecast,
         "hyperparam_multimetric": q_hyperparam_multimetric,
         "embed_docs": q_embed_docs,
         "embed_near_dup_clusters": q_embed_near_dup_clusters,
@@ -2251,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         "stepwise_predict": SQL_STEPWISE,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "ols_forecast": SQL_OLS_FORECAST,
+        "manager_forecast": SQL_MANAGER_FORECAST,
         "hyperparam_multimetric": SQL_HYPERPARAM_MULTI,
         "embed_docs": _sql_embed_docs(),
         "embed_near_dup_clusters": _sql_embed_clusters(),

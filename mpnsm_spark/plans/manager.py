@@ -158,6 +158,9 @@ def resolve_unit_configs(
 
 def _model_kwargs(spec: dict, tuned: dict[str, float] | None = None) -> dict:
     kwargs = dict(spec.get("model") or {})
+    # forecaster selection keys are consumed by _make_fit_kernel, not the model
+    kwargs.pop("forecaster", None)
+    kwargs.pop("knot_frac", None)
     if tuned:
         kwargs.update(tuned)
     for k in list(kwargs):
@@ -387,8 +390,30 @@ def _make_fit_kernel(spec: dict, reg_cols: list[str], order_col: str,
                      has_tuned: bool, emit_state: bool):
     """Per-series kernel: split train/future, fit TrendSeasonalOLS (with
     tuned overrides and regressor extras), emit forecast rows — or, in fit
-    mode, one model-state row (model_store schema keyed by _unit_id)."""
-    from mpnsm_spark.functions.model import TrendSeasonalOLS
+    mode, one model-state row (model_store schema keyed by _unit_id).
+
+    ``model.forecaster`` selects the fit: ``"trend_seasonal_ols"`` (default,
+    the reference-parity model) or ``"linear_hinge"`` — the fixed 3-basis
+    Cramer's-rule fit (functions/model.py ``linear_hinge_forecaster``) whose
+    decimal contract lets an ANSI engine replay the forecast bitwise (the
+    driver's SQL-oracle seam). linear_hinge takes no regressors, no tuning
+    and no fit-mode state (its whole state is the three betas the SQL twin
+    re-derives), so those combinations raise up front."""
+    from mpnsm_spark.functions.model import TrendSeasonalOLS, linear_hinge_forecaster
+
+    model_cfg = spec.get("model") or {}
+    forecaster = model_cfg.get("forecaster", "trend_seasonal_ols")
+    if forecaster not in ("trend_seasonal_ols", "linear_hinge"):
+        raise ValueError(
+            f"unknown forecaster {forecaster!r}; "
+            "use 'trend_seasonal_ols' or 'linear_hinge'"
+        )
+    if forecaster == "linear_hinge" and (reg_cols or has_tuned or emit_state):
+        raise ValueError(
+            "linear_hinge supports neither regressors, tuning, nor "
+            "fit-mode state persistence"
+        )
+    knot_frac = float(model_cfg.get("knot_frac", 0.5))
 
     fcst_cols = ["_unit_id", "target", "step", "yhat"]
     state_cols = [
@@ -408,6 +433,16 @@ def _make_fit_kernel(spec: dict, reg_cols: list[str], order_col: str,
         y = train[target].to_numpy(np.float64)
         if len(y) < min_train:
             return empty
+        if forecaster == "linear_hinge":
+            h = len(future) if len(future) else horizon_default
+            return pd.DataFrame(
+                {
+                    "_unit_id": pdf["_unit_id"].iloc[0],
+                    "target": target,
+                    "step": np.arange(1, h + 1, dtype=np.int32),
+                    "yhat": linear_hinge_forecaster(y, h, knot_frac),
+                }
+            )
         tuned = None
         if has_tuned:
             entries = train["_tuned"].iloc[0]

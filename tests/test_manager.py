@@ -332,3 +332,75 @@ def test_run_manager_fit_then_predict(spark, panel, tmp_path):
 def test_manager_result_requires_tables(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         ManagerResult().forecasts(spark, TableIO(str(tmp_path / "whx")))
+
+
+def test_run_manager_linear_hinge_matches_direct_fit(spark, panel, tmp_path):
+    """model.forecaster='linear_hinge' routes the kernel through the
+    SQL-replayable Cramer fit; per-series output equals calling
+    linear_hinge_forecaster directly on the ordered train values."""
+    from mpnsm_spark.functions.model import linear_hinge_forecaster
+
+    config = [
+        {
+            "unit": {},
+            "horizon": 5,
+            "targets": [
+                {"target_col": "sales", "model": {"forecaster": "linear_hinge"}}
+            ],
+        },
+        {"unit": {"region": "B"}, "horizon": 3},
+    ]
+    io = TableIO(str(tmp_path / "hinge"))
+    res = run_manager(
+        spark,
+        _train_only(panel),
+        io,
+        config,
+        group_columns=["region", "store"],
+        order_col="turn_idx",
+        cfg=PipelineConfig(num_buckets=4),
+    )
+    got = res.forecasts(spark, io).toPandas()
+    units = {("A", "s1"): 0, ("A", "s2"): 1, ("B", "s3"): 2, ("B", "s4"): 3}
+    for (region, store), ui in units.items():
+        horizon = 3 if region == "B" else 5
+        want = linear_hinge_forecaster(_series(ui * 7.0), horizon, 0.5)
+        g = got[got["_unit_id"] == f"{region}\x1f{store}"].sort_values("step")
+        assert len(g) == horizon
+        assert (g["yhat"].to_numpy() == want).all()  # bitwise
+
+
+def test_run_manager_linear_hinge_rejects_unsupported_combos(spark, panel, tmp_path):
+    io = TableIO(str(tmp_path / "hinge_bad"))
+
+    def cfg_with(**target_extra):
+        tgt = {"target_col": "sales", "model": {"forecaster": "linear_hinge"}}
+        tgt.update(target_extra)
+        return [{"unit": {}, "horizon": 4, "targets": [tgt]}]
+
+    with pytest.raises(ValueError, match="linear_hinge"):
+        run_manager(
+            spark, _train_only(panel), io,
+            cfg_with(regressors=[{"kind": "lag", "col": "sales", "lags": [1]}]),
+            group_columns=["region", "store"], order_col="turn_idx",
+        )
+    with pytest.raises(ValueError, match="linear_hinge"):
+        run_manager(
+            spark, _train_only(panel), io,
+            cfg_with(tuning={"grid": {"knot_frac": [0.4, 0.5]}}),
+            group_columns=["region", "store"], order_col="turn_idx",
+        )
+    with pytest.raises(ValueError, match="linear_hinge"):
+        run_manager(
+            spark, _train_only(panel), io, cfg_with(),
+            group_columns=["region", "store"], order_col="turn_idx",
+            run_mode="fit",
+        )
+    with pytest.raises(ValueError, match="unknown forecaster"):
+        run_manager(
+            spark, _train_only(panel), io,
+            [{"unit": {}, "horizon": 4,
+              "targets": [{"target_col": "sales",
+                           "model": {"forecaster": "prophet"}}]}],
+            group_columns=["region", "store"], order_col="turn_idx",
+        )
