@@ -432,6 +432,13 @@ def resolve_duplicate_clusters(
     edges = pairs.select(src, dst).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # Materialize the edge list ONCE: every propagation round joins `edges`,
+    # and the upstream pair-finding plan (LSH self-join over a Python embed
+    # stage, say) would otherwise re-execute per round — measured 5x the
+    # whole chain's cost at sf0.1. Edge state is two rows per duplicate pair
+    # (tiny next to the corpus), and localCheckpoint also truncates lineage
+    # so the loop's DAG stays flat at any scale.
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).persist()
     labels.count()

@@ -32,6 +32,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_static(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for a KNOWN dimension: the same left fold as
+    :func:`_dot` (acc starts at 0.0; acc + a[i]*b[i] in index order — bitwise
+    identical), but built from ``getItem`` expressions so it runs inside
+    whole-stage codegen instead of the interpreted higher-order ``aggregate``
+    evaluator (~10× per-row in join conditions over candidate pairs)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -329,10 +341,25 @@ def cosine_near_dup_pairs(
             for p in planes
         ],
     )
+    # The vector norm is hoisted into the PER-SIDE projection: Catalyst pushes
+    # the score filter into the bucket join's condition, so anything written
+    # per-pair runs once per bucket-collision CANDIDATE — and a skewed bucket
+    # makes that quadratic. Norms are per-vector; computing them here turns
+    # three interpreted array aggregates per candidate into one (the a·b dot),
+    # identical float op sequence (sqrt then multiply, as cosine() does).
+    # The cheap _id< conjunct is listed first so the short-circuit skips the
+    # dot on the mirrored half of each collision.
     tagged = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("bucket")
+    ).withColumn(
+        "_norm", F.sqrt(_dot_static(F.col("_v"), F.col("_v"), dim))
     )
     a, b = tagged.alias("a"), tagged.alias("b")
+    score = F.round(
+        _dot_static(F.col("a._v"), F.col("b._v"), dim)
+        / (F.col("a._norm") * F.col("b._norm")),
+        6,
+    )
     return (
         a.join(
             b,
@@ -341,7 +368,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+            score.alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
