@@ -1790,6 +1790,103 @@ FROM preds
 """
 
 
+def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the driver's EXACT gate: the events table
+    replayed through a watermark-correct 1-hour windowed aggregation
+    (``availableNow`` finite replay, append mode, one micro-batch per file).
+    Append mode only emits watermark-finalized windows, so a far-future
+    sentinel file — mtime-bumped so the file source replays it LAST — closes
+    every real window; sentinel rows are filtered out. The oracle is the
+    batch SQL twin of the same aggregation: streaming/batch row-identity is
+    the streaming module's core invariant (streaming/rollup_stream.py
+    ``batch_equivalent``), and this row puts it under the value-hash gate.
+    Engine-native extension: the reference is batch-only (SURVEY.md §2.9)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    # watermarks require TIMESTAMP (ltz); the table ships TIMESTAMP_NTZ.
+    # The session is UTC-pinned, so the cast is instant-preserving; the
+    # output casts bucket_start back so the schema matches the batch oracle.
+    ev = _t(spark, sf_dir, "events").select(*cols).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_row_")
+    src = os.path.join(tmp, "src")
+    # one file -> the whole table lands in micro-batch 1, before any
+    # watermark exists, so no real row can be late-dropped
+    ev.coalesce(1).write.parquet(src)
+    sent_dir = os.path.join(tmp, "sent")
+    ev.agg(F.max("ts").alias("ts")).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.parquet(sent_dir)
+    mt = max(
+        os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
+    )
+    for f in os.listdir(sent_dir):
+        if f.endswith(".parquet"):
+            dst = os.path.join(src, f"zzz_sentinel_{f}")
+            shutil.move(os.path.join(sent_dir, f), dst)
+            os.utime(dst, (mt + 10, mt + 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        .withColumn("value_avg", F.col("value_sum") / F.col("n_events"))
+    )
+    qname = f"stream_rollup_row_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""SELECT user_id, CAST(win.start AS TIMESTAMP_NTZ) AS bucket_start,
+                   n_events, value_sum, value_min, value_max, first_value,
+                   last_value, value_avg
+            FROM {qname} WHERE user_id >= 0"""
+    )
+
+
+SQL_STREAMING_ROLLUP_1H = """
+SELECT user_id,
+       date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       min_by(value, event_id) AS first_value,
+       max_by(value, event_id) AS last_value,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_hyperparam_multimetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-metric convergence walk (reference CombinedMetric tolerances,
     metrics.py:301-380 + the :96-145 stop rule): the multiplicative ladder
@@ -2300,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "ols_forecast": q_ols_forecast,
         "manager_forecast": q_manager_forecast,
+        "streaming_rollup_1h": q_streaming_rollup_1h,
         "hyperparam_multimetric": q_hyperparam_multimetric,
         "embed_docs": q_embed_docs,
         "embed_near_dup_clusters": q_embed_near_dup_clusters,
@@ -2354,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "ols_forecast": SQL_OLS_FORECAST,
         "manager_forecast": SQL_MANAGER_FORECAST,
+        "streaming_rollup_1h": SQL_STREAMING_ROLLUP_1H,
         "hyperparam_multimetric": SQL_HYPERPARAM_MULTI,
         "embed_docs": _sql_embed_docs(),
         "embed_near_dup_clusters": _sql_embed_clusters(),
