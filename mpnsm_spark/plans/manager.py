@@ -147,6 +147,10 @@ def resolve_unit_configs(
     resolved = resolve_config(
         units, level_tables, list(_CONFIG_FIELDS), require_full_coverage=False
     )
+    # One row per distinct unit — materialize ONCE: the coverage check below,
+    # run_manager's distinct-groups collect, and every group's unit filter
+    # would otherwise each re-run the distinct-over-input + config joins.
+    resolved = resolved.localCheckpoint(eager=True)
     missing = resolved.filter(F.col("targets_json").isNull())
     if missing.limit(1).count():
         raise ValueError(
