@@ -280,6 +280,7 @@ def run_manager(
     run_mode: str = "fit_predict",
     min_train: int = 8,
     cfg: PipelineConfig | None = None,
+    parallel_flows: int = 4,
 ) -> ManagerResult:
     """One declarative call: resolve per-unit configs, then per distinct
     config run regressor building → optional tuning → per-series fit/forecast
@@ -289,6 +290,12 @@ def run_manager(
     ``'fit'`` persists fitted model state into ``mgr_models_<target>``
     tables (no forecast); ``'predict'`` reloads persisted state and
     forecasts WITHOUT re-fitting (requires a prior ``'fit'`` run).
+
+    ``parallel_flows``: max (group, target) flows whose Spark jobs are
+    submitted concurrently from driver threads (1 = sequential). Flows are
+    independent by construction — distinct output/lineage tables, commit
+    lock in TableIO — so this only overlaps job submission, keeping
+    executors busy while another flow sits in a driver-side collect/commit.
     """
     if run_mode not in ("fit_predict", "fit", "predict"):
         raise ValueError(f"run_mode must be fit_predict|fit|predict, got {run_mode!r}")
@@ -306,6 +313,7 @@ def run_manager(
     result = ManagerResult(groups=len(groups))
     unit_id = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in group_columns])
 
+    tasks = []
     for gi, (targets_json, horizon) in enumerate(groups):
         targets = json.loads(targets_json)
         cond = F.col("targets_json") == targets_json
@@ -319,73 +327,91 @@ def run_manager(
             "_unit_id", unit_id
         )
         horizon_default = int(horizon) if horizon is not None else 10
-
         for spec in targets:
-            target = spec["target_col"]
-            is_train = (
-                F.col(is_train_col)
-                if is_train_col
-                else F.col(target).isNotNull()
-            )
-            t_df, reg_cols = _apply_regressors(
-                g_df, spec.get("regressors"), "_unit_id", order_col, date_col
-            )
-            if spec.get("tuning"):
-                t_df = _tuned_params_col(
-                    t_df, spec, "_unit_id", order_col, target, is_train
-                )
-            has_tuned = "_tuned" in t_df.columns
-            t_df = t_df.withColumn("_is_train", is_train)
+            tasks.append((gi, g_df, horizon_default, spec))
 
-            if run_mode == "predict":
-                from mpnsm_spark.functions.model_store import (
-                    load_model_states,
-                    predict_from_states,
-                )
-
-                states = load_model_states(
-                    spark, io, f"mgr_models_{target}", target=target,
-                    key_col="_unit_id",
-                ).withColumnRenamed("_unit_id", "conv_id")
-                table = f"mgr_fcst_{gi}_{target}"
-                io.append(
-                    predict_from_states(states, horizon_default)
-                    .withColumnRenamed("conv_id", "_unit_id"),
-                    table,
-                    meta={"run_mode": "predict"},
-                )
-                result.forecast_tables.append(table)
-                continue
-
-            keep = ["_unit_id", order_col, target, "_is_train", *reg_cols] + (
-                ["_tuned"] if has_tuned else []
+    def run_target(gi: int, g_df: DataFrame, horizon_default: int, spec: dict):
+        """One (resolved-config group, target) flow — independent of every
+        other task: distinct output tables, lineage appends serialized by
+        TableIO's commit lock. Returns (kind, table, stage_result)."""
+        target = spec["target_col"]
+        is_train = (
+            F.col(is_train_col) if is_train_col else F.col(target).isNotNull()
+        )
+        t_df, reg_cols = _apply_regressors(
+            g_df, spec.get("regressors"), "_unit_id", order_col, date_col
+        )
+        if spec.get("tuning"):
+            t_df = _tuned_params_col(
+                t_df, spec, "_unit_id", order_col, target, is_train
             )
-            src = t_df.select(*dict.fromkeys(keep))
-            kernel = _make_fit_kernel(
-                spec, reg_cols, order_col, target, horizon_default,
-                min_train, has_tuned, emit_state=(run_mode == "fit"),
-            )
-            if run_mode == "fit":
-                from mpnsm_spark.functions.model_store import MODEL_STATE_SCHEMA
+        has_tuned = "_tuned" in t_df.columns
+        t_df = t_df.withColumn("_is_train", is_train)
 
-                # model_store schema keyed by the manager's composite unit id
-                stage_schema = MODEL_STATE_SCHEMA.replace("conv_id", "_unit_id")
-                table = f"mgr_models_{target}"
-            else:
-                stage_schema = "_unit_id string, target string, step int, yhat double"
-                table = f"mgr_fcst_{gi}_{target}"
-            stage = KernelStage(
-                name=table,
-                fn=kernel,
-                output_schema=stage_schema,
-                order_col=order_col,
+        if run_mode == "predict":
+            from mpnsm_spark.functions.model_store import (
+                load_model_states,
+                predict_from_states,
             )
-            res = run_kernel_stage(spark, io, stage, src, cfg, key="_unit_id")
+
+            states = load_model_states(
+                spark, io, f"mgr_models_{target}", target=target,
+                key_col="_unit_id",
+            ).withColumnRenamed("_unit_id", "conv_id")
+            table = f"mgr_fcst_{gi}_{target}"
+            io.append(
+                predict_from_states(states, horizon_default)
+                .withColumnRenamed("conv_id", "_unit_id"),
+                table,
+                meta={"run_mode": "predict"},
+            )
+            return ("forecast", table, None)
+
+        keep = ["_unit_id", order_col, target, "_is_train", *reg_cols] + (
+            ["_tuned"] if has_tuned else []
+        )
+        src = t_df.select(*dict.fromkeys(keep))
+        kernel = _make_fit_kernel(
+            spec, reg_cols, order_col, target, horizon_default,
+            min_train, has_tuned, emit_state=(run_mode == "fit"),
+        )
+        if run_mode == "fit":
+            from mpnsm_spark.functions.model_store import MODEL_STATE_SCHEMA
+
+            # model_store schema keyed by the manager's composite unit id
+            stage_schema = MODEL_STATE_SCHEMA.replace("conv_id", "_unit_id")
+            table = f"mgr_models_{target}"
+        else:
+            stage_schema = "_unit_id string, target string, step int, yhat double"
+            table = f"mgr_fcst_{gi}_{target}"
+        stage = KernelStage(
+            name=table,
+            fn=kernel,
+            output_schema=stage_schema,
+            order_col=order_col,
+        )
+        res = run_kernel_stage(spark, io, stage, src, cfg, key="_unit_id")
+        return ("model" if run_mode == "fit" else "forecast", table, res)
+
+    # (group, target) flows are independent — the reference runs its per-unit
+    # loop under joblib (deprecated/ts_manager.py); here each flow is already
+    # one distributed job, so concurrency means overlapping Spark JOB
+    # SUBMISSION from driver threads (fills the cluster while another flow is
+    # in a driver-side collect or commit). Results land in task order so
+    # output table lists stay deterministic.
+    if parallel_flows > 1 and len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallel_flows) as pool:
+            outs = list(pool.map(lambda t: run_target(*t), tasks))
+    else:
+        outs = [run_target(*t) for t in tasks]
+    for kind, table, res in outs:
+        if res is not None:
             result.stages.append(res)
-            if run_mode == "fit":
-                result.model_tables.append(table)
-            else:
-                result.forecast_tables.append(table)
+        (result.model_tables if kind == "model" else result.forecast_tables).append(
+            table
+        )
     return result
 
 
