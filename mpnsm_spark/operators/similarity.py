@@ -40,16 +40,24 @@ def _dot_static(a: Column, b: Column, dim: int) -> Column:
     evaluator (~10× per-row in join conditions over candidate pairs)."""
     acc: Column = F.lit(0.0)
     for i in range(dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
+        # cast BEFORE multiplying, exactly as _dot's zip_with lambda does —
+        # for array<float> inputs a float×float multiply would round once in
+        # float and diverge bitwise from the cast-then-multiply sequence
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return acc
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot_static(a, a, dim) if dim else _dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; pass ``dim`` when the vector width is statically
+    known to evaluate via the unrolled codegen fold (same float op sequence
+    as the interpreted higher-order aggregate — see :func:`_dot_static` —
+    so scores are bitwise identical either way)."""
+    num = _dot_static(a, b, dim) if dim else _dot(a, b)
+    return num / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -58,6 +66,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, score).
 
@@ -75,7 +84,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            cosine(F.col("q_vec"), F.col("c_vec"), dim).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -123,7 +132,9 @@ def sample_centroids(
     )
 
 
-def _nearest_centroids(vec: Column, centroids: Column, n: int) -> Column:
+def _nearest_centroids(
+    vec: Column, centroids: Column, n: int, dim: int | None = None
+) -> Column:
     """Top-n centroid ids by 6dp-rounded cosine (ties → lowest centroid_id),
     from an array<struct<centroid_id,centroid>>.
 
@@ -132,7 +143,7 @@ def _nearest_centroids(vec: Column, centroids: Column, n: int) -> Column:
     scored = F.transform(
         centroids,
         lambda c: F.struct(
-            F.round(cosine(vec, c["centroid"]), 6).alias("s"),
+            F.round(cosine(vec, c["centroid"], dim), 6).alias("s"),
             (-c["centroid_id"]).alias("neg_cid"),
             c["centroid_id"].alias("cid"),
         ),
@@ -146,6 +157,7 @@ def ivf_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (bucket column)."""
     cent_arr = F.broadcast(
@@ -157,7 +169,9 @@ def ivf_index(
     )
     return (
         corpus.crossJoin(cent_arr)
-        .withColumn("_best", _nearest_centroids(F.col(vec_col), F.col("cents"), 1)[0])
+        .withColumn(
+            "_best", _nearest_centroids(F.col(vec_col), F.col("cents"), 1, dim)[0]
+        )
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -173,6 +187,7 @@ def refine_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize_bits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the sampled centroids: assign → mean per
     bucket → new centroids. The query path (``ivf_index``/``ivf_search``) is
@@ -194,7 +209,7 @@ def refine_centroids(
     the 6dp score rounding the search uses.
     """
     for _ in range(n_iters):
-        assigned = ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
         exploded = assigned.select(
             "bucket", F.posexplode(vec_col).alias("pos", "val")
         )
@@ -252,6 +267,7 @@ def ivf_search(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest centroid buckets only."""
     cent_arr = F.broadcast(
@@ -269,7 +285,7 @@ def ivf_search(
             "q_vec",
             F.explode(
                 F.transform(
-                    _nearest_centroids(F.col("q_vec"), F.col("cents"), n_probe),
+                    _nearest_centroids(F.col("q_vec"), F.col("cents"), n_probe, dim),
                     lambda s: s["cid"],
                 )
             ).alias("bucket"),
@@ -281,7 +297,7 @@ def ivf_search(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col), dim), 6).alias("score"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

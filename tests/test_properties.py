@@ -158,3 +158,41 @@ def test_tail_trim_closed_form_equals_iterative(spark, vals, max_keep):
         [float(v) for v in vals], list(range(len(vals))), max_keep
     )
     assert got == want, (vals, max_keep)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=24,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_dot_static_bitwise_equals_interpreted_dot(spark, vals, rnd):
+    """_dot_static (unrolled codegen getItem fold) must reproduce _dot
+    (interpreted higher-order aggregate) BITWISE for any width — the oracle
+    rows' hash gate depends on the swap being value-invisible."""
+    from mpnsm_spark.operators.similarity import _dot, _dot_static
+
+    from pyspark.sql import functions as F
+
+    dim = len(vals)
+    other = [rnd.uniform(-1e6, 1e6) for _ in range(dim)]
+    df = spark.createDataFrame(
+        [(vals, other)], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        _dot(F.col("a"), F.col("b")).alias("interp"),
+        _dot_static(F.col("a"), F.col("b"), dim).alias("unrolled"),
+    ).collect()[0]
+    import struct
+
+    assert struct.pack("<d", row["interp"]) == struct.pack("<d", row["unrolled"]), (
+        vals,
+        other,
+    )
