@@ -51,6 +51,11 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     for deterministic downstream hashing); shorter docs yield the whole text
     as a single shingle."""
     toks = F.split(normalize_text(text), " ")
+    # slice-per-position is formally O(tokens^2) per doc but tokens is small
+    # (~45 at the corpus' ~300-char docs) and slice+concat_ws is the FAST
+    # form: an A/B against per-element try_element_at builds measured the
+    # slice form 3x faster (try_element_at pays an ANSI try wrapper per call;
+    # plain element_at throws past-the-end under ANSI and can't be used).
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -140,6 +145,63 @@ def minhash_signature(
     )
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(_id, sig) MinHash signatures via explode → codegen min-aggregates.
+
+    Computes the SAME longs as :func:`minhash_signature` (same per-shingle
+    hash, same permutation arithmetic, min over the same deduped shingle
+    set — bitwise; a pytest pins the two paths equal) but in whole-stage
+    codegen: the expression form runs one interpreted higher-order
+    transform+aggregate per document (~shingles × num_hashes lambda evals),
+    while this plan explodes shingles and folds ``min`` per lane with
+    map-side partial aggregation — the exchange carries one row per doc,
+    and per-shingle hashing happens exactly once in the aggregate's input
+    projection. Docs whose shingle array is null (null text) drop out here;
+    in the pair pipeline they can never produce a verified pair either way
+    (their null Jaccard is filtered), so pair output is identical.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("_s"),
+    )
+    if hash_strategy == "md5":
+        # hash each shingle ONCE into a materialized column; referencing the
+        # md5 subtree from all num_hashes aggregate expressions would make
+        # every lane recompute it (the 25-50x blowup class the expression
+        # form's barrier guards against)
+        ex = ex.select(
+            "_id",
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        lanes = [
+            F.min(
+                F.pmod(
+                    F.col("_h") * F.lit(_perm_a(j)) + F.lit(_perm_b(j)),
+                    F.lit(MINHASH_P),
+                )
+            ).alias(f"_h{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        lanes = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
+            for j in range(num_hashes)
+        ]
+    wide = ex.groupBy("_id").agg(*lanes)
+    return wide.select(
+        "_id", F.array(*[f"_h{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,32 +223,16 @@ def minhash_lsh_pairs(
     corpus content is shuffled at candidate volume, not ×bands×candidates.
     """
     rows_per_band = num_hashes // bands
-    if hash_strategy == "md5":
-        # Hash every shingle once, then a materialization barrier: without
-        # it CollapseProject inlines the per-shingle md5 tree into all
-        # num_hashes permutation expressions (and the banded self-join
-        # evaluates it again on both sides) — measured 25-50x wall blowup.
-        # After the exchange the permutations scan a materialized int array.
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes_md5(word_ngrams(F.col(text_col), ngram)).alias("_hs"),
-        ).repartition("_id")
-        sig = base.select(
-            "_id",
-            minhash_signature(
-                F.col("_hs"), num_hashes, hash_strategy, hashed=True
-            ).alias("sig"),
-        )
-    else:
-        sig = df.select(
-            F.col(id_col).alias("_id"),
-            minhash_signature(
-                word_ngrams(F.col(text_col), ngram), num_hashes, hash_strategy
-            ).alias("sig"),
-        )
-    # Second barrier: the signature projection would otherwise re-run on both
-    # sides of the banded self-join; ReuseExchange shares one computation.
-    sig = sig.repartition("_id")
+    # Signatures via the explode → codegen min-aggregate plan (bitwise equal
+    # to the expression form minhash_signature, which stays as the pinned
+    # twin): per-shingle hashing happens once in codegen and the groupBy's
+    # map-side partial min reduces each task to one row per doc before the
+    # exchange. The aggregate's exchange doubles as the barrier ReuseExchange
+    # shares across both sides of the banded self-join.
+    sig = minhash_signatures_df(
+        df, id_col=id_col, text_col=text_col, ngram=ngram,
+        num_hashes=num_hashes, hash_strategy=hash_strategy,
+    )
 
     def _band_hash(b):
         joined = F.concat_ws(

@@ -196,3 +196,53 @@ def test_dot_static_bitwise_equals_interpreted_dot(spark, vals, rnd):
         vals,
         other,
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab cd\tef\n", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from(["md5", "xxhash64"]),
+)
+def test_minhash_signatures_df_equals_expression_form(spark, texts, strategy):
+    """The explode→min-aggregate signature plan must emit the SAME longs as
+    the expression form (minhash_lsh_pairs switched to the former; the pair
+    oracle depends on the swap being value-invisible). Docs whose shingle
+    array is null drop from the frame form by design."""
+    from pyspark.sql import functions as F
+
+    from mpnsm_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_df,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["_id"]: r["sig"]
+        for r in minhash_signatures_df(
+            df, num_hashes=8, hash_strategy=strategy
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            minhash_signature(
+                word_ngrams(F.col("text"), 3), 8, strategy
+            ).alias("sig"),
+        ).collect()
+        if r["sig"] is not None
+    }
+    assert got == want, texts
