@@ -807,9 +807,12 @@ FROM documents GROUP BY 1
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + composite score per document."""
+    from mpnsm_spark.operators.skew import fan_out
     from mpnsm_spark.operators.text import quality_score
 
-    return quality_score(_t(spark, sf_dir, "documents")).select(
+    # The per-row feature expressions (marker counts, translate, regex
+    # splits) run in the scan stage — spread the one-file scan first.
+    return quality_score(fan_out(_t(spark, sf_dir, "documents"), key="doc_id")).select(
         "doc_id", "n_tokens", "punct_ratio", "stop_ratio", "mean_tok_len", "quality_score"
     )
 
@@ -850,9 +853,12 @@ FROM feat
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic per document."""
+    from mpnsm_spark.operators.skew import fan_out
     from mpnsm_spark.operators.text import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents")).select(
+    # 20 marker-count expressions per row in the scan stage — spread the
+    # one-file scan first (fan_out is a no-op on well-split inputs).
+    return lang_id(fan_out(_t(spark, sf_dir, "documents"), key="doc_id")).select(
         "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "pred_lang"
     )
 
@@ -907,18 +913,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from mpnsm_spark.operators.similarity import cosine
+    from mpnsm_spark.operators.skew import fan_out
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
+    # dim=64 (the table's fixed width, TESTDATA.md) switches the cosine to
+    # the unrolled codegen fold — bitwise-identical scores (similarity.py
+    # _dot_static contract); fan_out spreads the one-file corpus scan.
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        fan_out(emb, key="vec_id").crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("score"),
+            F.round(
+                cosine(F.col("q_vec"), F.col("embedding"), dim=64), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -977,8 +989,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = sample_centroids(emb, n_centroids=16)
-    index = ivf_index(emb, cents)
-    return ivf_search(index, cents, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4)
+    # dim=64: assignment + scoring run as unrolled codegen folds with hoisted
+    # norms — bit-identical scores (similarity.py _dot_static contract).
+    index = ivf_index(emb, cents, dim=64)
+    return ivf_search(
+        index, cents, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, dim=64
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,6 +1721,7 @@ def q_manager_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from mpnsm_spark.plans.manager import run_manager
+    from mpnsm_spark.plans.pipeline import PipelineConfig
     from mpnsm_spark.sources.tableio import TableIO
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -1725,9 +1742,12 @@ def q_manager_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"unit": {"cohort": "1"}, "horizon": 3},
     ]
     io = TableIO(tempfile.mkdtemp(prefix="mgr_row_"))
+    # One-shot unnamed run into a throwaway dir: ephemeral mode skips the
+    # snapshot/lineage/read-back round-trips (same kernels, same rows —
+    # pipeline.py PipelineConfig.ephemeral).
     res = run_manager(
         spark, df, io, config, group_columns=["cohort", "user_id"],
-        order_col="seq",
+        order_col="seq", cfg=PipelineConfig(ephemeral=True),
     )
     fc = res.forecasts(spark, io)
     yq = F.when(
@@ -1801,44 +1821,63 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming module's core invariant (streaming/rollup_stream.py
     ``batch_equivalent``), and this row puts it under the value-hash gate.
     Engine-native extension: the reference is batch-only (SURVEY.md §2.9)."""
+    import glob
     import os
     import shutil
     import tempfile
     import uuid
 
     cols = ["user_id", "ts", "event_id", "event_type", "value"]
-    # watermarks require TIMESTAMP (ltz); the table ships TIMESTAMP_NTZ.
-    # The session is UTC-pinned, so the cast is instant-preserving; the
-    # output casts bucket_start back so the schema matches the batch oracle.
-    ev = _t(spark, sf_dir, "events").select(*cols).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_row_")
+    ev_ntz = _t(spark, sf_dir, "events").select(*cols)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="stream_row_", dir=shm)
     src = os.path.join(tmp, "src")
-    # one file -> the whole table lands in micro-batch 1, before any
-    # watermark exists, so no real row can be late-dropped
-    ev.coalesce(1).write.parquet(src)
+    os.makedirs(src)
+    # Source files are HARD-LINKED (copy2 fallback across devices) instead of
+    # re-written through a coalesce(1) Spark job: the old single-threaded
+    # rewrite of the whole table was ~1/3 of this row's wall and moved every
+    # byte once for nothing — the stream reads the original parquet bytes.
+    # All main files land in micro-batch 1 (maxFilesPerTrigger = their
+    # count), before any watermark exists, so no real row can be late-dropped.
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        [ev_path]
+        if os.path.isfile(ev_path)
+        else sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
+    )
+    for i, f in enumerate(files):
+        dst = os.path.join(src, f"data_{i:05d}.parquet")
+        try:
+            os.link(f, dst)
+        except OSError:
+            shutil.copy2(f, dst)
+    mt = max(os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src))
     sent_dir = os.path.join(tmp, "sent")
-    ev.agg(F.max("ts").alias("ts")).select(
+    # Sentinel keeps the FILE schema (ts TIMESTAMP_NTZ); the instant math is
+    # identical under the UTC-pinned session.
+    ev_ntz.agg(F.max("ts").alias("ts")).select(
         F.lit(-1).cast("long").alias("user_id"),
         (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
         F.lit(-1).cast("long").alias("event_id"),
         F.lit("__flush__").alias("event_type"),
         F.lit(0.0).alias("value"),
     ).coalesce(1).write.parquet(sent_dir)
-    mt = max(
-        os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
-    )
     for f in os.listdir(sent_dir):
         if f.endswith(".parquet"):
             dst = os.path.join(src, f"zzz_sentinel_{f}")
             shutil.move(os.path.join(sent_dir, f), dst)
+            # strictly later than every main file -> its own final batch,
+            # which advances the watermark past every real window
             os.utime(dst, (mt + 10, mt + 10))
 
+    # watermarks require TIMESTAMP (ltz); the files ship TIMESTAMP_NTZ. The
+    # session is UTC-pinned, so the in-stream cast is instant-preserving; the
+    # output casts bucket_start back so the schema matches the batch oracle.
     stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
+        spark.readStream.schema(ev_ntz.schema)
+        .option("maxFilesPerTrigger", max(len(files), 1))
         .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -1860,6 +1899,10 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(qname)
+        # explicit checkpoint on the same tmpfs dir: the default temp
+        # checkpoint lands on the slow virtio /tmp and the state store
+        # commits per partition per micro-batch
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2142,9 +2185,13 @@ def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents0 = sample_centroids(emb, n_centroids=16)
-    cents1 = refine_centroids(emb, cents0, n_iters=1, quantize_bits=20)
-    index = ivf_index(emb, cents1)
-    return ivf_search(index, cents1, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4)
+    # dim=64 throughout: every assignment/scoring cosine evaluates as the
+    # unrolled codegen fold (bit-identical, similarity.py _dot_static).
+    cents1 = refine_centroids(emb, cents0, n_iters=1, quantize_bits=20, dim=64)
+    index = ivf_index(emb, cents1, dim=64)
+    return ivf_search(
+        index, cents1, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, dim=64
+    )
 
 
 # dim=64 is the embeddings table's fixed dimension (TESTDATA.md).
@@ -2300,9 +2347,13 @@ def q_embed_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = embed_text(docs, id_col="doc_id", text_col="text", dim=16)
+    # bucket_subsplit=8: the 16-dim hashed embeddings cluster hard (one
+    # sign-bucket holds ~43% of docs) — sub-salt the quadratic in-bucket
+    # verify across 8 deterministic sub-keys so it parallelizes instead of
+    # landing on one task (similarity.py skew note). Pair set identical.
     pairs = cosine_near_dup_pairs(
         emb, dim=16, threshold=0.99, n_planes=8,
-        id_col="doc_id", vec_col="embedding",
+        id_col="doc_id", vec_col="embedding", bucket_subsplit=8,
     )
     return resolve_duplicate_clusters(
         pairs, ids=docs.select("doc_id"), fixed_iters=4

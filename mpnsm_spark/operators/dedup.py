@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mpnsm_spark.operators.skew import fan_out
 from mpnsm_spark.operators.text import normalize_text
 
 
@@ -167,7 +168,12 @@ def minhash_signatures_df(
     in the pair pipeline they can never produce a verified pair either way
     (their null Jaccard is filtered), so pair output is identical.
     """
-    ex = df.select(
+    # Shingling + per-shingle hashing are the expensive per-row work and run
+    # BEFORE the aggregation exchange — on a single-file (one row group)
+    # input the whole corpus would shingle on one core. fan_out hash-spreads
+    # the narrow (id, text) rows first (deterministic, no-op at scale), and
+    # the groupBy below reuses that id-partitioning: no extra exchange.
+    ex = fan_out(df.select(id_col, text_col), key=id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("_s"),
     )
@@ -270,7 +276,9 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = df.select(
+    # Candidate-verify shingles: same single-file input-skew fix as the
+    # signature pass — shingle across the cluster, not on the scan's one task.
+    sh = fan_out(df.select(id_col, text_col), key=id_col).select(
         F.col(id_col).alias("_sid"),
         word_ngrams(F.col(text_col), ngram).alias("_sh"),
     )
@@ -427,7 +435,9 @@ def simhash_buckets(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # Python kernel = expensive per row: spread a 1-task scan first
+    # (deterministic no-op when the input already has enough splits).
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
         run, f"{id_col} {id_type}, simhash_hex string, bucket string"
     )
 
@@ -474,10 +484,20 @@ def resolve_duplicate_clusters(
     and partial aggregation; per-round state is one (id, label) row per
     UNIQUE node, never the pair multiset.
     """
-    src, dst = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    edges = pairs.select(src, dst).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    # Mirror each pair with ONE explode, not a self-union: a union's two
+    # branches duplicate the upstream pair plan in the physical tree, and
+    # ReuseExchange only dedups exchanges — the pair-producing JOIN itself
+    # (the expensive in-bucket quadratic verify for LSH inputs) would execute
+    # TWICE inside the edge materialization job. explode emits both
+    # directions from one execution of the pair plan.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # Materialize the edge list ONCE: every propagation round joins `edges`,
     # and the upstream pair-finding plan (LSH self-join over a Python embed
     # stage, say) would otherwise re-execute per round — measured 5x the

@@ -98,8 +98,14 @@ def embed_text(
             )
 
     id_type = dict(df.dtypes)[id_col]
+    # Encoder kernels are the expensive per-row work; a single-file (one row
+    # group) corpus plans as a 1-task scan and would embed serially. fan_out
+    # hash-spreads the narrow (id, text) rows first — deterministic, and a
+    # structural no-op once the input has enough splits (real corpus scale).
+    from mpnsm_spark.operators.skew import fan_out
+
     return (
-        df.select(id_col, text_col)
+        fan_out(df.select(id_col, text_col), key=id_col)
         .mapInPandas(run, f"_id {id_type}, embedding array<double>")
         .withColumnRenamed("_id", id_col)
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mpnsm_spark.operators.skew import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -47,16 +49,35 @@ def _dot_static(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+# Static unrolling cutoff: every `getItem` term is ~4 py4j round-trips at
+# Column-construction time plus analyzer work over the resulting tree, paid
+# PER QUERY BUILD on the driver. Measured at dim=64 the unrolled build costs
+# seconds (ann/ivf regressed 3-4x) while the interpreted higher-order fold —
+# once the corpus scan is fan_out-spread — evaluates in parallel and is no
+# longer the bottleneck. Small dims (the 16-dim hashed-embedding dedup path,
+# where candidate volume is quadratic) still win from codegen unrolling.
+_STATIC_UNROLL_MAX = 16
+
+
+def _dot_auto(a: Column, b: Column, dim: int | None) -> Column:
+    """_dot_static for small known dims, the higher-order fold otherwise —
+    the two are bitwise-identical by the :func:`_dot_static` contract, so
+    this is purely a build-cost/eval-cost tradeoff."""
+    if dim and dim <= _STATIC_UNROLL_MAX:
+        return _dot_static(a, b, dim)
+    return _dot(a, b)
+
+
 def _norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(_dot_static(a, a, dim) if dim else _dot(a, a))
+    return F.sqrt(_dot_auto(a, a, dim))
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; pass ``dim`` when the vector width is statically
-    known to evaluate via the unrolled codegen fold (same float op sequence
-    as the interpreted higher-order aggregate — see :func:`_dot_static` —
-    so scores are bitwise identical either way)."""
-    num = _dot_static(a, b, dim) if dim else _dot(a, b)
+    known — small dims evaluate via the unrolled codegen fold (same float op
+    sequence as the interpreted higher-order aggregate — see
+    :func:`_dot_static` — so scores are bitwise identical either way)."""
+    num = _dot_auto(a, b, dim)
     return num / (_norm(a, dim) * _norm(b, dim))
 
 
@@ -75,7 +96,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # Scoring is per-row expensive (dim multiply-adds × queries); a one-file
+    # corpus scan is a single task — spread it first (no-op at real scale).
+    c = fan_out(corpus.select(id_col, vec_col), key=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -133,23 +156,61 @@ def sample_centroids(
 
 
 def _nearest_centroids(
-    vec: Column, centroids: Column, n: int, dim: int | None = None
+    vec: Column,
+    centroids: Column,
+    n: int,
+    dim: int | None = None,
+    vec_norm: Column | None = None,
 ) -> Column:
     """Top-n centroid ids by 6dp-rounded cosine (ties → lowest centroid_id),
-    from an array<struct<centroid_id,centroid>>.
+    from an array<struct<centroid_id,centroid>> (optionally carrying a
+    pre-computed per-centroid ``_cn`` norm field).
 
     Scores are rounded so the ordering is reproducible across engines
-    (summation-order float noise stays below the rounding quantum)."""
+    (summation-order float noise stays below the rounding quantum).
+
+    ``vec_norm``: pre-computed ``sqrt(vec·vec)``. Without it, every centroid
+    lane re-derives the row vector's norm (``n_centroids`` redundant
+    dim-length folds per row); hoisting it into the per-row projection is the
+    same float op sequence evaluated once — bit-identical scores. When set,
+    the centroid structs must carry a pre-computed ``_cn`` norm field (see
+    :func:`_cent_array`)."""
+
+    def score(c):
+        if vec_norm is not None and dim:
+            return F.round(
+                _dot_auto(vec, c["centroid"], dim) / (vec_norm * c["_cn"]), 6
+            )
+        return F.round(cosine(vec, c["centroid"], dim), 6)
+
     scored = F.transform(
         centroids,
         lambda c: F.struct(
-            F.round(cosine(vec, c["centroid"], dim), 6).alias("s"),
+            score(c).alias("s"),
             (-c["centroid_id"]).alias("neg_cid"),
             c["centroid_id"].alias("cid"),
         ),
     )
     # array_sort asc on (s, neg_cid), reversed => s desc, cid asc on ties.
     return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+
+def _cent_array(centroids: DataFrame, dim: int | None) -> DataFrame:
+    """Centroids collected to ONE broadcastable array row, sorted by
+    centroid_id. With a known ``dim`` each struct carries ``_cn`` — the
+    centroid norm computed once per centroid (instead of once per corpus row
+    × centroid inside the assignment lambda); identical float op sequence to
+    the inline ``_norm``, so scores are bit-identical."""
+    cols = [F.col("centroid_id"), F.col("centroid")]
+    if dim:
+        cols.append(
+            F.sqrt(
+                _dot_auto(F.col("centroid"), F.col("centroid"), dim)
+            ).alias("_cn")
+        )
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct(*cols))).alias("cents")
+    )
 
 
 def ivf_index(
@@ -159,19 +220,28 @@ def ivf_index(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Assign each corpus vector to its nearest centroid (bucket column)."""
-    cent_arr = F.broadcast(
-        centroids.agg(
-            F.array_sort(
-                F.collect_list(F.struct("centroid_id", "centroid"))
-            ).alias("cents")
+    """Assign each corpus vector to its nearest centroid (bucket column).
+
+    With ``dim`` set the per-row assignment evaluates unrolled ``getItem``
+    folds with both norms hoisted (same float op order — bit-identical
+    buckets); the corpus side is fan_out-spread first so a one-file corpus
+    does not assign on a single task."""
+    cent_arr = F.broadcast(_cent_array(centroids, dim))
+    src = fan_out(corpus.select(id_col, vec_col), key=id_col)
+    if dim:
+        src = src.withColumn(
+            "_vn", F.sqrt(_dot_auto(F.col(vec_col), F.col(vec_col), dim))
         )
-    )
+    best = _nearest_centroids(
+        F.col(vec_col),
+        F.col("cents"),
+        1,
+        dim,
+        vec_norm=F.col("_vn") if dim else None,
+    )[0]
     return (
-        corpus.crossJoin(cent_arr)
-        .withColumn(
-            "_best", _nearest_centroids(F.col(vec_col), F.col("cents"), 1, dim)[0]
-        )
+        src.crossJoin(cent_arr)
+        .withColumn("_best", best)
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -270,22 +340,28 @@ def ivf_search(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest centroid buckets only."""
-    cent_arr = F.broadcast(
-        centroids.agg(
-            F.array_sort(
-                F.collect_list(F.struct("centroid_id", "centroid"))
-            ).alias("cents")
-        )
+    cent_arr = F.broadcast(_cent_array(centroids, dim))
+    q_src = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    if dim:
+        q_src = q_src.withColumn(
+            "_qn", F.sqrt(_dot_auto(F.col("q_vec"), F.col("q_vec"), dim))
+        )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .crossJoin(cent_arr)
+        q_src.crossJoin(cent_arr)
         .select(
             "query_id",
             "q_vec",
             F.explode(
                 F.transform(
-                    _nearest_centroids(F.col("q_vec"), F.col("cents"), n_probe, dim),
+                    _nearest_centroids(
+                        F.col("q_vec"),
+                        F.col("cents"),
+                        n_probe,
+                        dim,
+                        vec_norm=F.col("_qn") if dim else None,
+                    ),
                     lambda s: s["cid"],
                 )
             ).alias("bucket"),
@@ -334,6 +410,7 @@ def cosine_near_dup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_subsplit: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: sign-LSH bucket join + exact cosine.
 
@@ -341,11 +418,29 @@ def cosine_near_dup_pairs(
     sign — high-cosine pairs collide with high probability; the exact cosine
     filter removes false positives (no false negatives for identical
     vectors; raise n_planes to trade recall for candidate volume).
+
+    ``bucket_subsplit=s``: skew mitigation for corpora whose embeddings
+    cluster so hard that one sign-bucket holds a large corpus fraction. The
+    in-bucket verify is quadratic, and a bucket-keyed join puts one bucket's
+    whole O(|bucket|²) candidate set on ONE task (AQE's skew-join split is
+    bytes-based and cannot see CPU-quadratic small partitions). Sub-salting
+    splits each bucket deterministically: the left side gets
+    ``sub = pmod(xxhash64(id), s)``, the right side is replicated s ways, and
+    the join keys on (bucket, sub) — every unordered pair still matched
+    exactly once (via the smaller id's sub), spread over s× more join keys.
+    Costs one s× replication of the (id, vec, bucket) proxy rows — never the
+    underlying documents — plus one materialization of the tagged frame so
+    the two now-asymmetric join sides don't each recompute the upstream
+    embedding stage.
     """
     planes = [_hyperplane(dim, j) for j in range(n_planes)]
     # Plane dots are 6dp-rounded before the sign test so the bucket string is
     # reproducible across engines (float summation noise stays below the
     # rounding quantum); the exact-cosine verify is rounded the same way.
+    # The plane dots stay the higher-order fold on purpose: unrolled literal
+    # folds cost n_planes × dim py4j round-trips per query BUILD (measured
+    # seconds at dim=64) while the interpreted eval is off the critical path
+    # once fan_out spreads the corpus scan.
     sig = F.concat_ws(
         "",
         *[
@@ -364,24 +459,45 @@ def cosine_near_dup_pairs(
     # three interpreted array aggregates per candidate into one (the a·b dot),
     # identical float op sequence (sqrt then multiply, as cosine() does).
     # The cheap _id< conjunct is listed first so the short-circuit skips the
-    # dot on the mirrored half of each collision.
-    tagged = corpus.select(
+    # dot on the mirrored half of each collision. fan_out spreads the sig
+    # computation when the corpus arrives as a 1-task scan (no-op at scale).
+    tagged = fan_out(corpus.select(id_col, vec_col), key=id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("bucket")
     ).withColumn(
-        "_norm", F.sqrt(_dot_static(F.col("_v"), F.col("_v"), dim))
+        "_norm", F.sqrt(_dot_auto(F.col("_v"), F.col("_v"), dim))
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
     score = F.round(
-        _dot_static(F.col("a._v"), F.col("b._v"), dim)
+        _dot_auto(F.col("a._v"), F.col("b._v"), dim)
         / (F.col("a._norm") * F.col("b._norm")),
         6,
     )
-    return (
-        a.join(
+    if bucket_subsplit and bucket_subsplit > 1:
+        s = int(bucket_subsplit)
+        # Materialize the (id, vec, bucket, norm) proxy once: the two join
+        # sides below are structurally different, so without this each would
+        # re-execute the upstream embedding/sig stage.
+        tagged = tagged.localCheckpoint(eager=True)
+        a = tagged.withColumn(
+            "_sub", F.pmod(F.xxhash64(F.col("_id")), F.lit(s)).cast("int")
+        ).alias("a")
+        b = tagged.withColumn(
+            "_rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        ).alias("b")
+        joined = a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._sub") == F.col("b._rep"))
+            & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
+    else:
+        a, b = tagged.alias("a"), tagged.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+    return (
+        joined.select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             score.alias("score"),

@@ -36,6 +36,30 @@ def with_salt(df: DataFrame, num_buckets: int, key: str = "conv_id") -> DataFram
     )
 
 
+def fan_out(df: DataFrame, key: str, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow-parallelism input across the cluster BEFORE per-row
+    expensive work (heavy expressions, higher-order functions, Python
+    kernels).
+
+    A single unsplittable input (one parquet row group, a gzip file, a small
+    dimension table) plans as a 1-task scan, serializing everything that runs
+    before the first exchange — the input-skew case of the optimization
+    playbook ("one huge unsplittable file: repartition immediately after the
+    read"). This repartitions by ``pmod(xxhash64(key), n)`` — DETERMINISTIC
+    (retried tasks reproduce the same placement; round-robin repartition of
+    non-deterministic input can duplicate/lose rows, SPARK-38388) — and only
+    when the current plan has fewer partitions than ``min_partitions``
+    (default ``sparkContext.defaultParallelism``). At production scale the
+    scan already has hundreds of splits and this is a structural no-op: no
+    shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    n = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def conv_sizes(df: DataFrame, key: str = "conv_id") -> DataFrame:
     """Size pre-pass (reference: empty-series pruning / load balance,
     ``deprecated/ts_manager.py:215-216``)."""

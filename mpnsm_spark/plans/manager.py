@@ -252,10 +252,23 @@ def _tuned_params_col(df: DataFrame, spec: dict, key: str, order_col: str,
 class ManagerResult:
     forecast_tables: list[str] = field(default_factory=list)
     model_tables: list[str] = field(default_factory=list)
+    # Ephemeral runs (PipelineConfig.ephemeral) return the forecast FRAMES
+    # directly — no table was written, so nothing can be read back.
+    forecast_frames: list[DataFrame] = field(default_factory=list)
     stages: list[dict] = field(default_factory=list)
     groups: int = 0
 
     def forecasts(self, spark: SparkSession, io: TableIO) -> DataFrame:
+        if self.forecast_frames:
+            out = None
+            for df in self.forecast_frames:
+                df = df.drop("_v", "bucket_id")
+                out = df if out is None else out.unionByName(df)
+            if self.forecast_tables:
+                raise ValueError(
+                    "manager run mixed ephemeral and persisted forecasts"
+                )
+            return out
         out = None
         for t in self.forecast_tables:
             df = io.read(spark, t)
@@ -300,6 +313,11 @@ def run_manager(
     if run_mode not in ("fit_predict", "fit", "predict"):
         raise ValueError(f"run_mode must be fit_predict|fit|predict, got {run_mode!r}")
     cfg = cfg or PipelineConfig()
+    if cfg.ephemeral and run_mode == "fit":
+        raise ValueError(
+            "ephemeral runs cannot persist model state; use run_mode="
+            "'fit_predict'/'predict' or a durable PipelineConfig"
+        )
     date_col = date_col or order_col
     resolved = resolve_unit_configs(spark, df, group_columns, config)
     # few distinct resolved configs by construction — driver-side group list
@@ -358,13 +376,13 @@ def run_manager(
                 spark, io, f"mgr_models_{target}", target=target,
                 key_col="_unit_id",
             ).withColumnRenamed("_unit_id", "conv_id")
-            table = f"mgr_fcst_{gi}_{target}"
-            io.append(
-                predict_from_states(states, horizon_default)
-                .withColumnRenamed("conv_id", "_unit_id"),
-                table,
-                meta={"run_mode": "predict"},
+            fcst = predict_from_states(states, horizon_default).withColumnRenamed(
+                "conv_id", "_unit_id"
             )
+            if cfg.ephemeral:
+                return ("forecast_frame", fcst, None)
+            table = f"mgr_fcst_{gi}_{target}"
+            io.append(fcst, table, meta={"run_mode": "predict"})
             return ("forecast", table, None)
 
         keep = ["_unit_id", order_col, target, "_is_train", *reg_cols] + (
@@ -391,6 +409,8 @@ def run_manager(
             order_col=order_col,
         )
         res = run_kernel_stage(spark, io, stage, src, cfg, key="_unit_id")
+        if cfg.ephemeral:
+            return ("forecast_frame", res.pop("frame"), res)
         return ("model" if run_mode == "fit" else "forecast", table, res)
 
     # (group, target) flows are independent — the reference runs its per-unit
@@ -406,12 +426,15 @@ def run_manager(
             outs = list(pool.map(lambda t: run_target(*t), tasks))
     else:
         outs = [run_target(*t) for t in tasks]
-    for kind, table, res in outs:
+    for kind, obj, res in outs:
         if res is not None:
             result.stages.append(res)
-        (result.model_tables if kind == "model" else result.forecast_tables).append(
-            table
-        )
+        if kind == "model":
+            result.model_tables.append(obj)
+        elif kind == "forecast":
+            result.forecast_tables.append(obj)
+        else:
+            result.forecast_frames.append(obj)
     return result
 
 

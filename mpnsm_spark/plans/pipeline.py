@@ -286,6 +286,15 @@ class PipelineConfig:
     # bucket_id, error class) instead of failing the run, and only errored
     # buckets reprocess on resume.
     kernel_stages: tuple = ()
+    # Ephemeral kernel-stage runs: skip snapshot versioning, lineage and the
+    # write/read-back round-trip entirely and hand the stage's output frame
+    # straight to the caller. For an unnamed one-shot run (e.g. an ad-hoc
+    # manager forecast) the resume machinery is pure fixed overhead — several
+    # driver-side jobs and two storage commits per stage for output nobody
+    # will ever resume. No resume, no per-bucket error lineage (per-series
+    # error ISOLATION still applies: poisoned series drop out, identical
+    # rows); durable runs keep the default False.
+    ephemeral: bool = False
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
 
@@ -619,7 +628,7 @@ def run_kernel_stage(
     spark.sparkContext.setJobDescription(f"mpnsm:{stage.name}")
     done = (
         load_lineage_map(spark, io).get(stage.name, set())
-        if io.exists(LINEAGE_TABLE)
+        if not cfg.ephemeral and io.exists(LINEAGE_TABLE)
         else set()
     )
     remaining = sorted(set(range(cfg.num_buckets)) - done)
@@ -680,6 +689,16 @@ def run_kernel_stage(
         .groupBy(*group_keys)
         .applyInPandas(wrapped, aug_schema)
     )
+    if cfg.ephemeral:
+        # One-shot mode: same kernel, same per-series error isolation (error
+        # marker rows drop out), but the output frame goes straight back to
+        # the caller — no snapshot write, no read-back, no lineage commits,
+        # no stats collect (4+ driver jobs and 2 storage commits saved).
+        result["frame"] = out.filter(F.col("_status") == "ok").drop(
+            "_status", "_error"
+        )
+        result["wall_seconds"] = round(time.time() - t0, 3)
+        return result
     out = with_salt(out, cfg.num_buckets, key=key).persist()
     try:
         ok_rows = out.filter(F.col("_status") == "ok").drop("_status", "_error")

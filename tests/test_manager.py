@@ -404,3 +404,47 @@ def test_run_manager_linear_hinge_rejects_unsupported_combos(spark, panel, tmp_p
                            "model": {"forecaster": "prophet"}}]}],
             group_columns=["region", "store"], order_col="turn_idx",
         )
+
+
+def test_run_manager_ephemeral_matches_persisted(spark, panel, tmp_path):
+    """PipelineConfig(ephemeral=True) skips snapshot/lineage/read-back but
+    produces the identical forecast rows as a persisted run (the one-shot
+    optimization path must not change a single value)."""
+    train = _train_only(panel)
+    io_p = TableIO(str(tmp_path / "wh_persist"))
+    res_p = run_manager(
+        spark, train, io_p, CONFIG, group_columns=["region", "store"],
+        cfg=PipelineConfig(num_buckets=4),
+    )
+    io_e = TableIO(str(tmp_path / "wh_ephemeral"))
+    res_e = run_manager(
+        spark, train, io_e, CONFIG, group_columns=["region", "store"],
+        cfg=PipelineConfig(num_buckets=4, ephemeral=True),
+    )
+    assert res_e.forecast_frames and not res_e.forecast_tables
+    # nothing was written under the ephemeral warehouse
+    import os
+
+    assert not any(
+        name.startswith("mgr_") for name in os.listdir(str(tmp_path / "wh_ephemeral"))
+    ) if os.path.isdir(str(tmp_path / "wh_ephemeral")) else True
+    cols = ["_unit_id", "target", "step", "yhat"]
+    got_p = (
+        res_p.forecasts(spark, io_p).select(*cols).toPandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    got_e = (
+        res_e.forecasts(spark, io_e).select(*cols).toPandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_p, got_e)
+
+
+def test_run_manager_ephemeral_rejects_fit(spark, panel, tmp_path):
+    io = TableIO(str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="ephemeral"):
+        run_manager(
+            spark, _train_only(panel), io, CONFIG,
+            group_columns=["region", "store"], run_mode="fit",
+            cfg=PipelineConfig(num_buckets=4, ephemeral=True),
+        )
