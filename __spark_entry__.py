@@ -1815,20 +1815,26 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed through a watermark-correct 1-hour windowed aggregation
     (``availableNow`` finite replay, append mode, one micro-batch per file).
     Append mode only emits watermark-finalized windows, so a far-future
-    sentinel file — mtime-bumped so the file source replays it LAST — closes
-    every real window; sentinel rows are filtered out. The oracle is the
-    batch SQL twin of the same aggregation: streaming/batch row-identity is
-    the streaming module's core invariant (streaming/rollup_stream.py
-    ``batch_equivalent``), and this row puts it under the value-hash gate.
-    Engine-native extension: the reference is batch-only (SURVEY.md §2.9)."""
+    sentinel row closes every real window; sentinel rows are filtered out.
+    The sentinel rides in the SAME first micro-batch as the data (no
+    watermark exists yet, so nothing can be late-dropped) and availableNow
+    runs one final empty batch after the watermark advances — two batches
+    total instead of three. The oracle is the batch SQL twin of the same
+    aggregation: streaming/batch row-identity is the streaming module's core
+    invariant (streaming/rollup_stream.py ``batch_equivalent``), and this
+    row puts it under the value-hash gate. Engine-native extension: the
+    reference is batch-only (SURVEY.md §2.9)."""
+    import datetime as _dt
     import glob
     import os
     import shutil
     import tempfile
     import uuid
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     cols = ["user_id", "ts", "event_id", "event_type", "value"]
-    ev_ntz = _t(spark, sf_dir, "events").select(*cols)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="stream_row_", dir=shm)
     src = os.path.join(tmp, "src")
@@ -1837,76 +1843,99 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-written through a coalesce(1) Spark job: the old single-threaded
     # rewrite of the whole table was ~1/3 of this row's wall and moved every
     # byte once for nothing — the stream reads the original parquet bytes.
-    # All main files land in micro-batch 1 (maxFilesPerTrigger = their
-    # count), before any watermark exists, so no real row can be late-dropped.
     ev_path = os.path.join(sf_dir, "events.parquet")
     files = (
         [ev_path]
         if os.path.isfile(ev_path)
         else sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
     )
+    mx = None
     for i, f in enumerate(files):
         dst = os.path.join(src, f"data_{i:05d}.parquet")
         try:
             os.link(f, dst)
         except OSError:
             shutil.copy2(f, dst)
-    mt = max(os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src))
-    sent_dir = os.path.join(tmp, "sent")
+        # max(ts) from parquet footers — metadata-only, replaces a full
+        # Spark aggregation job (same micros value the agg would return)
+        md = pq.read_metadata(f)
+        ci = md.schema.names.index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mx = None
+                break
+            mx = st.max if mx is None or st.max > mx else mx
+        if mx is None:
+            break
+    ev_ntz = _t(spark, sf_dir, "events").select(*cols)
+    if mx is None:  # stats-less files: fall back to the Spark aggregation
+        mx = ev_ntz.agg(F.max("ts")).collect()[0][0]
     # Sentinel keeps the FILE schema (ts TIMESTAMP_NTZ); the instant math is
-    # identical under the UTC-pinned session.
-    ev_ntz.agg(F.max("ts").alias("ts")).select(
-        F.lit(-1).cast("long").alias("user_id"),
-        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit("__flush__").alias("event_type"),
-        F.lit(0.0).alias("value"),
-    ).coalesce(1).write.parquet(sent_dir)
-    for f in os.listdir(sent_dir):
-        if f.endswith(".parquet"):
-            dst = os.path.join(src, f"zzz_sentinel_{f}")
-            shutil.move(os.path.join(sent_dir, f), dst)
-            # strictly later than every main file -> its own final batch,
-            # which advances the watermark past every real window
-            os.utime(dst, (mt + 10, mt + 10))
+    # identical under the UTC-pinned session. Written via pyarrow directly —
+    # one row, no Spark job.
+    sch = pq.read_schema(files[0])
+    sent = pa.table(
+        {
+            "user_id": [-1],
+            "ts": [mx + _dt.timedelta(days=365)],
+            "event_id": [-1],
+            "event_type": ["__flush__"],
+            "value": [0.0],
+        },
+        schema=pa.schema([sch.field(sch.get_field_index(c)) for c in cols]),
+    )
+    pq.write_table(sent, os.path.join(src, "zzz_sentinel.parquet"))
 
     # watermarks require TIMESTAMP (ltz); the files ship TIMESTAMP_NTZ. The
     # session is UTC-pinned, so the in-stream cast is instant-preserving; the
     # output casts bucket_start back so the schema matches the batch oracle.
-    stream = (
-        spark.readStream.schema(ev_ntz.schema)
-        .option("maxFilesPerTrigger", max(len(files), 1))
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # State-store cost scales with (partitions × batches): size the stateful
+    # shuffle to the state volume, not the core count — each partition pays a
+    # store commit per micro-batch (restored after the query; on a real
+    # cluster state partitions are sized to ~100MB-1GB of state each).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism // 4)),
     )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)"))
-            .cast("double")
-            .alias("value_sum"),
-            F.min("value").alias("value_min"),
-            F.max("value").alias("value_max"),
-            F.min_by("value", "event_id").alias("first_value"),
-            F.max_by("value", "event_id").alias("last_value"),
+    try:
+        stream = (
+            spark.readStream.schema(ev_ntz.schema)
+            .option("maxFilesPerTrigger", len(files) + 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
         )
-        .withColumn("value_avg", F.col("value_sum") / F.col("n_events"))
-    )
-    qname = f"stream_rollup_row_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        # explicit checkpoint on the same tmpfs dir: the default temp
-        # checkpoint lands on the slow virtio /tmp and the state store
-        # commits per partition per micro-batch
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(20,6)"))
+                .cast("double")
+                .alias("value_sum"),
+                F.min("value").alias("value_min"),
+                F.max("value").alias("value_max"),
+                F.min_by("value", "event_id").alias("first_value"),
+                F.max_by("value", "event_id").alias("last_value"),
+            )
+            .withColumn("value_avg", F.col("value_sum") / F.col("n_events"))
+        )
+        qname = f"stream_rollup_row_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            # explicit checkpoint on the same tmpfs dir: the default temp
+            # checkpoint lands on the slow virtio /tmp and the state store
+            # commits per partition per micro-batch
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.sql(
         f"""SELECT user_id, CAST(win.start AS TIMESTAMP_NTZ) AS bucket_start,
                    n_events, value_sum, value_min, value_max, first_value,
@@ -2347,13 +2376,9 @@ def q_embed_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = embed_text(docs, id_col="doc_id", text_col="text", dim=16)
-    # bucket_subsplit=8: the 16-dim hashed embeddings cluster hard (one
-    # sign-bucket holds ~43% of docs) — sub-salt the quadratic in-bucket
-    # verify across 8 deterministic sub-keys so it parallelizes instead of
-    # landing on one task (similarity.py skew note). Pair set identical.
     pairs = cosine_near_dup_pairs(
         emb, dim=16, threshold=0.99, n_planes=8,
-        id_col="doc_id", vec_col="embedding", bucket_subsplit=8,
+        id_col="doc_id", vec_col="embedding",
     )
     return resolve_duplicate_clusters(
         pairs, ids=docs.select("doc_id"), fixed_iters=4

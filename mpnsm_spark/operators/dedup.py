@@ -477,6 +477,9 @@ def resolve_duplicate_clusters(
 
     ``ids`` (optional, one column named like ``id_a``-less ``doc_id``…
     any single-column frame) adds isolated documents as singleton clusters.
+    When provided it must COVER every pair endpoint (always true for corpus
+    dedup — pairs are found within the corpus); the fixed-iters fast path
+    relies on it.
 
     Output: ``(doc_id, cluster_id, keep_flag)`` — cluster_id = min doc id of
     the component, keep_flag marks the representative. Labels only ever
@@ -504,6 +507,37 @@ def resolve_duplicate_clusters(
     # whole chain's cost at sf0.1. Edge state is two rows per duplicate pair
     # (tiny next to the corpus), and localCheckpoint also truncates lineage
     # so the loop's DAG stays flat at any scale.
+    if fixed_iters is not None and ids is not None:
+        # Fixed-round corpus mode (both driver rows): every pair endpoint is
+        # by construction a corpus id (pairs are FOUND within the corpus), so
+        # labels can start from the ids table directly and each round folds
+        # the node's own label in via a SELF-LOOP edge — one join + one
+        # min-aggregate per round instead of join + aggregate + left-join,
+        # no labels-init job, and no final singleton anti-join (isolated ids
+        # ride through the rounds labelled by their own loop). Identical
+        # labels: min({own} ∪ neighbor labels) per round, and isolated ids
+        # keep label=id — exactly the general path's output.
+        id_col = ids.columns[0]
+        loops = ids.select(
+            F.col(id_col).alias("src"), F.col(id_col).alias("dst")
+        )
+        edges = edges.unionByName(loops).localCheckpoint(eager=True)
+        labels = ids.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("label")
+        )
+        for _ in range(fixed_iters):
+            labels = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("label"))
+                .withColumnRenamed("src", "id")
+            ).localCheckpoint(eager=True)
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("keep_flag"),
+        )
+
     edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).persist()

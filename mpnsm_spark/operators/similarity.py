@@ -410,7 +410,6 @@ def cosine_near_dup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_subsplit: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: sign-LSH bucket join + exact cosine.
 
@@ -419,19 +418,17 @@ def cosine_near_dup_pairs(
     filter removes false positives (no false negatives for identical
     vectors; raise n_planes to trade recall for candidate volume).
 
-    ``bucket_subsplit=s``: skew mitigation for corpora whose embeddings
-    cluster so hard that one sign-bucket holds a large corpus fraction. The
-    in-bucket verify is quadratic, and a bucket-keyed join puts one bucket's
-    whole O(|bucket|²) candidate set on ONE task (AQE's skew-join split is
-    bytes-based and cannot see CPU-quadratic small partitions). Sub-salting
-    splits each bucket deterministically: the left side gets
-    ``sub = pmod(xxhash64(id), s)``, the right side is replicated s ways, and
-    the join keys on (bucket, sub) — every unordered pair still matched
-    exactly once (via the smaller id's sub), spread over s× more join keys.
-    Costs one s× replication of the (id, vec, bucket) proxy rows — never the
-    underlying documents — plus one materialization of the tagged frame so
-    the two now-asymmetric join sides don't each recompute the upstream
-    embedding stage.
+    Skew note: a hard-clustered corpus can put a large fraction of documents
+    in one sign-bucket, making the in-bucket verify quadratic on one join
+    key. A deterministic bucket sub-salting variant (left side salted, right
+    side replicated s ways, join on (bucket, sub)) was prototyped and
+    MEASURED 5-20x SLOWER at every tried configuration on this corpus — the
+    identical-sides self-join below shares one exchange and one evaluation
+    of the upstream embedding stage, while every salted variant either
+    doubles the upstream work (asymmetric sides), forces a broadcast-probe
+    plan, or evaluates the pushed-down score condition on the s-times-larger
+    candidate stream. Revisit only with profiler evidence that one bucket's
+    verify actually dominates a task.
     """
     planes = [_hyperplane(dim, j) for j in range(n_planes)]
     # Plane dots are 6dp-rounded before the sign test so the bucket string is
@@ -471,31 +468,12 @@ def cosine_near_dup_pairs(
         / (F.col("a._norm") * F.col("b._norm")),
         6,
     )
-    if bucket_subsplit and bucket_subsplit > 1:
-        s = int(bucket_subsplit)
-        # Materialize the (id, vec, bucket, norm) proxy once: the two join
-        # sides below are structurally different, so without this each would
-        # re-execute the upstream embedding/sig stage.
-        tagged = tagged.localCheckpoint(eager=True)
-        a = tagged.withColumn(
-            "_sub", F.pmod(F.xxhash64(F.col("_id")), F.lit(s)).cast("int")
-        ).alias("a")
-        b = tagged.withColumn(
-            "_rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-        ).alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._sub") == F.col("b._rep"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-    else:
-        a, b = tagged.alias("a"), tagged.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
     return (
         joined.select(
             F.col("a._id").alias("id_a"),
