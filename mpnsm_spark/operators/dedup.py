@@ -525,13 +525,18 @@ def resolve_duplicate_clusters(
         labels = ids.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("label")
         )
+        # Each round references `labels` exactly ONCE (one join, one
+        # aggregate), so the whole fixed-round chain stays LAZY: no subtree
+        # duplication, no per-round checkpoint job — the driver submits one
+        # job for all rounds. Plan depth is fixed_iters joins over the
+        # checkpointed edge list (flat lineage).
         for _ in range(fixed_iters):
             labels = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("label").alias("label"))
                 .withColumnRenamed("src", "id")
-            ).localCheckpoint(eager=True)
+            )
         return labels.select(
             F.col("id").alias("doc_id"),
             F.col("label").alias("cluster_id"),

@@ -25,17 +25,27 @@ from pyspark.sql import functions as F
 from mpnsm_spark.operators.skew import apply_per_series
 
 
+def _iqr_fences(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Per-series [q1, q3] fence aggregate (one row per series)."""
+    return df.groupBy(key).agg(
+        F.percentile(value_col, 0.25).alias("_q1"),
+        F.percentile(value_col, 0.75).alias("_q3"),
+    )
+
+
 def iqr_outliers(
     df: DataFrame,
     key: str = "conv_id",
     value_col: str = "value",
     k: float = 1.5,
+    fences: DataFrame | None = None,
 ) -> DataFrame:
-    """Flag rows outside [q1 - k·IQR, q3 + k·IQR] within their series."""
-    fences = df.groupBy(key).agg(
-        F.percentile(value_col, 0.25).alias("_q1"),
-        F.percentile(value_col, 0.75).alias("_q3"),
-    )
+    """Flag rows outside [q1 - k·IQR, q3 + k·IQR] within their series.
+
+    ``fences``: pre-computed :func:`_iqr_fences` frame (possibly persisted)
+    so multi-pass callers don't re-aggregate the corpus per pass."""
+    if fences is None:
+        fences = _iqr_fences(df, key, value_col)
     out = df.join(F.broadcast(fences), key)
     iqr = F.col("_q3") - F.col("_q1")
     lo = F.col("_q1") - k * iqr
@@ -99,8 +109,14 @@ def outlier_dummies(
     dates than that raises: a dummy-per-date design is only sane for a
     bounded spike set; use mode='drop'/'flag' otherwise). The dummy columns
     themselves are one ``F.when`` projection each — no extra shuffle beyond
-    the fence aggregation."""
-    flagged = iqr_outliers(df, key=key, value_col=value_col, k=k)
+    the fence aggregation.
+
+    The fence aggregate is computed ONCE and persisted (one row per series):
+    both the distinct-outlier-dates driver decision below and the caller's
+    eventual execution of the returned frame need it, and without the
+    persist each pass re-aggregates the whole input."""
+    fences = _iqr_fences(df, key, value_col).persist()
+    flagged = iqr_outliers(df, key=key, value_col=value_col, k=k, fences=fences)
     dates = sorted(
         r[0]
         for r in flagged.filter(F.col("is_outlier"))
