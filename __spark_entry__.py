@@ -2214,9 +2214,15 @@ def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents0 = sample_centroids(emb, n_centroids=16)
-    # dim=64 throughout: every assignment/scoring cosine evaluates as the
-    # unrolled codegen fold (bit-identical, similarity.py _dot_static).
-    cents1 = refine_centroids(emb, cents0, n_iters=1, quantize_bits=20, dim=64)
+    # dim=64 throughout: assignment/scoring cosines share the hoisted-norm
+    # path (bit-identical, similarity.py _dot_auto contract). The refined
+    # centroids (16 rows) are materialized ONCE: the index build and the
+    # probe side otherwise each embed the full refine chain (sample →
+    # assign → quantized means) in their broadcast subtrees — the before
+    # plan carries 16 parquet scans of the same corpus.
+    cents1 = refine_centroids(
+        emb, cents0, n_iters=1, quantize_bits=20, dim=64
+    ).localCheckpoint(eager=True)
     index = ivf_index(emb, cents1, dim=64)
     return ivf_search(
         index, cents1, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, dim=64

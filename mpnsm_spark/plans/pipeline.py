@@ -38,13 +38,14 @@ Execution model (why this scales):
   its cached output is handed directly to dependent stages — no storage
   read-back, no dedupe window. Storage reads (with keep-last dedupe) happen
   only on resume, where prior snapshots exist.
-- **Stage DAG, serial by default**: with one exchange feeding everything,
-  every stage is itself cluster-wide, so running stages back-to-back keeps
-  all cores busy; measured local-mode runs show concurrent driver-thread
-  jobs (``parallel_stages=True``) cost up to 2× wall from python-worker
-  oversubscription and cache pressure. The thread pool remains for lineage
-  commits (always async) and for multi-executor clusters where stages are
-  narrow relative to the cluster. TableIO commits are lock-serialized.
+- **Stage DAG, parallel by default**: the independent 1h/1d branches,
+  chunks and retention overlap from concurrent driver threads so the next
+  stage's tasks back-fill executors freed by the current stage's tail
+  (guide §2.6). Re-measured this round after the per-stage overhead cuts:
+  parallel 6.1s vs serial 14.0s at bench scale (an earlier serial default
+  dated from when heavier stages contended; ``MPNSM_SERIAL_DAG=1`` or
+  ``parallel_stages=False`` restores it). Lineage commits are always
+  async; TableIO commits are lock-serialized.
 - The wave loop is over salt buckets (a driver-side int list, not data); each
   wave is one declarative Spark job over ``bucket_id IN (...)``. The only
   full raw scans are tier-1m (fused with the dedupe) and the map-only
@@ -274,13 +275,15 @@ class PipelineConfig:
     # count(), and the session timezone must be UTC. Set False to force the
     # row-level rewrite unconditionally.
     file_level_retention: bool = True
-    # Run independent stages from concurrent driver threads. Default OFF:
-    # with the single-exchange pipeline every stage is already cluster-wide,
-    # and measured local-mode runs show inter-job contention (python-worker
-    # oversubscription + cache pressure) costing up to 2x wall. Turn on for
-    # multi-executor clusters where stages are narrow relative to the
-    # cluster. MPNSM_SERIAL_DAG=1 forces serial regardless.
-    parallel_stages: bool = False
+    # Run independent stages from concurrent driver threads. Default ON
+    # (re-measured this round): the round-4 "2x worse" reading predated the
+    # batched kernel stages and leaner per-stage commits — the small 1h/1d
+    # branch stages are now overhead-bound (~0.7-0.9s each, write + stats
+    # jobs), and overlapping them back-fills executors freed by the big
+    # stages' tails (guide §2.6). Gated A/B at bench scale (2M turns,
+    # local[32]): serial 14.0s vs parallel 6.1s warmed, 21.6 vs 17.5 cold.
+    # MPNSM_SERIAL_DAG=1 forces serial regardless.
+    parallel_stages: bool = True
     # Per-series kernel stages run after the tier DAG with per-bucket error
     # lineage: a poisoned series yields a status="error" lineage row (stage,
     # bucket_id, error class) instead of failing the run, and only errored
