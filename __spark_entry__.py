@@ -919,9 +919,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    # dim=64 (the table's fixed width, TESTDATA.md) switches the cosine to
-    # the unrolled codegen fold — bitwise-identical scores (similarity.py
-    # _dot_static contract); fan_out spreads the one-file corpus scan.
+    # dim=64 (the table's fixed width, TESTDATA.md) — bitwise-identical
+    # scores via the _dot_auto contract (similarity.py); fan_out spreads
+    # the one-file corpus scan across the cluster.
     scored = (
         fan_out(emb, key="vec_id").crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -989,8 +989,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = sample_centroids(emb, n_centroids=16)
-    # dim=64: assignment + scoring run as unrolled codegen folds with hoisted
-    # norms — bit-identical scores (similarity.py _dot_static contract).
+    # dim=64: assignment + scoring use the hoisted-norm path (per-centroid
+    # and per-row norms computed once) — bit-identical scores
+    # (similarity.py _dot_auto contract); fan_out parallelizes the corpus.
     index = ivf_index(emb, cents, dim=64)
     return ivf_search(
         index, cents, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, dim=64
