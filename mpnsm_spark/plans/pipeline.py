@@ -734,35 +734,43 @@ def run_kernel_stage(
         )
         result["wall_seconds"] = round(time.time() - t0, 3)
         return result
-    out = with_salt(out, cfg.num_buckets, key=key).persist()
-    try:
-        ok_rows = out.filter(F.col("_status") == "ok").drop("_status", "_error")
-        version = io.append(
-            ok_rows.withColumn(
-                "_v", F.lit(io.snapshot_version(stage.name) + 1)
-            ),
-            stage.name,
-            meta={"stage": stage.name, "buckets": remaining},
-        )
-        per_bucket = {
-            int(r.bucket_id): r
-            for r in out.groupBy("bucket_id")
-            .agg(
-                F.sum(F.when(F.col("_status") == "ok", 1).otherwise(0)).alias("n_ok"),
-                F.sum(F.when(F.col("_status") == "error", 1).otherwise(0)).alias("n_err"),
-                F.min("_error").alias("error_class"),
-            )
-            .collect()
-        }
-    finally:
-        out.unpersist()
+    # Per-bucket ok/error stats observed DURING the snapshot write
+    # (CollectMetrics below the ok-filter sees the error marker rows too):
+    # replaces a persist of the whole kernel output plus a separate stats
+    # job — one job, no cache pressure.
+    from pyspark.sql import Observation
+
+    out = with_salt(out, cfg.num_buckets, key=key)
+    obs = Observation()
+    metrics = []
+    for b in remaining:
+        c = F.col("bucket_id") == int(b)
+        metrics += [
+            F.sum(
+                F.when(c & (F.col("_status") == "ok"), 1).otherwise(0)
+            ).alias(f"ok{b}"),
+            F.sum(
+                F.when(c & (F.col("_status") == "error"), 1).otherwise(0)
+            ).alias(f"err{b}"),
+            F.min(F.when(c, F.col("_error"))).alias(f"cls{b}"),
+        ]
+    ok_rows = (
+        out.observe(obs, *metrics)
+        .filter(F.col("_status") == "ok")
+        .drop("_status", "_error")
+    )
+    version = io.append(
+        ok_rows.withColumn("_v", F.lit(io.snapshot_version(stage.name) + 1)),
+        stage.name,
+        meta={"stage": stage.name, "buckets": remaining},
+    )
+    vals = obs.get  # the write already ran; returns without blocking
     wall = time.time() - t0
     lineage_rows = []
     for b in remaining:
-        r = per_bucket.get(b)
-        n_ok = int(r.n_ok) if r is not None else 0
-        n_err = int(r.n_err) if r is not None else 0
-        err_cls = r.error_class if (r is not None and n_err) else None
+        n_ok = int(vals.get(f"ok{b}") or 0)
+        n_err = int(vals.get(f"err{b}") or 0)
+        err_cls = vals.get(f"cls{b}") if n_err else None
         if n_err:
             result["buckets_error"][b] = err_cls
         result["errored_series"] += n_err
