@@ -863,36 +863,17 @@ def run_pipeline(
     def stage_table(stage: str) -> str:
         return stage if stage != "retention" else "raw_retained"
 
-    def stage_metrics(stage: str, wave) -> list:
-        """Per-bucket lineage stats as OBSERVED aggregates (CollectMetrics):
-        they ride on the write job itself, replacing the old post-write
-        stats pass (a second job per stage — for leaf stages a read-back of
-        the snapshot just written, blob bytes included). input_rows:
-        raw turns covered by tier rows; non-gap anchors for gap-fill;
-        encoded points for chunks; retained rows for retention (its input IS
-        what it writes)."""
-        exprs = []
-        for b in wave:
-            c = F.col("bucket_id") == int(b)
-            if stage.startswith("tier_"):
-                ir = F.when(c, F.col("turn_count")).otherwise(0)
-            elif stage.startswith("gapfill_"):
-                ir = F.when(c & ~F.col("is_gap"), 1).otherwise(0)
-            elif stage.startswith("chunks_"):
-                ir = F.when(c, F.col("n_points")).otherwise(0)
-            else:
-                ir = F.when(c, 1).otherwise(0)
-            exprs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"o{b}"))
-            exprs.append(F.sum(ir).alias(f"i{b}"))
-            if stage.startswith("chunks_"):
-                exprs.append(
-                    F.sum(
-                        F.when(
-                            c, F.length("ts_blob") + F.length("value_blob")
-                        ).otherwise(0)
-                    ).alias(f"e{b}")
-                )
-        return exprs
+    def stage_input_rows(stage: str):
+        """Meaningful per-bucket input_rows for lineage: raw turns covered by
+        tier rows; non-gap anchors for gap-fill; encoded points for chunks;
+        retained rows for retention (its input IS what it writes)."""
+        if stage.startswith("tier_"):
+            return F.sum("turn_count")
+        if stage.startswith("gapfill_"):
+            return F.sum(F.when(~F.col("is_gap"), 1).otherwise(0))
+        if stage.startswith("chunks_"):
+            return F.sum("n_points")
+        return F.count(F.lit(1))
 
     def run_stage(stage: str, produce) -> None:
         # Label every job this stage submits (Spark UI / event-log / REST
@@ -926,38 +907,43 @@ def run_pipeline(
             # parallelism — capping it serializes the biggest I/O in the job.
             write_width = max(spark.sparkContext.defaultParallelism, 16)
             to_write = out if stage == "retention" else out.coalesce(write_width)
-            # Lineage stats observed DURING the write (one job total): empty
-            # buckets naturally read 0 (null sums coalesced below), so they
-            # still get their completion row.
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            to_write = to_write.observe(obs, *stage_metrics(stage, wave))
             version = io.append(
                 to_write,
                 stage_table(stage),
                 meta={"stage": stage, "buckets": wave, "tool_vocab": tool_vocab},
             )
-            vals = obs.get  # write already ran; returns without blocking
-            wall_each = (time.time() - t0) / max(len(wave), 1)
-            lineage = spark.createDataFrame(
-                [
-                    (
-                        cfg.run_id,
-                        stage,
-                        int(b),
-                        int(vals.get(f"i{b}") or 0),
-                        int(vals.get(f"o{b}") or 0),
-                        int(vals.get(f"e{b}") or 0),
-                        wall_each,
-                        "ok",
-                        version,
+            # Per-bucket lineage in ONE job: stats over the cached output
+            # (tiers) or a pruned read-back of the snapshot just written
+            # (leaves), left-joined to the wave's bucket ids so empty buckets
+            # still get their completion row.
+            if is_tier or stage == "retention":
+                stats_src = out
+            else:
+                try:
+                    stats_src = io.read_snapshot(
+                        spark, stage_table(stage), version
                     )
-                    for b in wave
-                ],
-                "run_id string, stage string, bucket_id int, input_rows long, "
-                "output_rows long, encode_bytes long, wall_seconds double, "
-                "status string, version int",
+                except FileNotFoundError:  # empty snapshot (no part files)
+                    stats_src = out
+            stats = stats_src.groupBy("bucket_id").agg(
+                F.count(F.lit(1)).alias("output_rows"),
+                stage_input_rows(stage).alias("input_rows"),
+                *(
+                    [
+                        F.sum(
+                            F.length("ts_blob") + F.length("value_blob")
+                        ).alias("encode_bytes")
+                    ]
+                    if stage.startswith("chunks_")
+                    else []
+                ),
+            )
+            all_ids = spark.range(cfg.num_buckets).select(
+                F.col("id").cast("int").alias("bucket_id")
+            ).filter(F.col("bucket_id").isin([int(b) for b in wave]))
+            stats = all_ids.join(stats, "bucket_id", "left").na.fill(0)
+            lineage = _lineage_df(
+                cfg, stage, stats, time.time() - t0, version, n_buckets=len(wave)
             )
             # Lineage commits AFTER the data (crash between them only re-runs
             # the bucket) but OFF the critical path: dependents need the data,
