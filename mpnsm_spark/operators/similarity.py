@@ -222,10 +222,11 @@ def ivf_index(
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (bucket column).
 
-    With ``dim`` set the per-row assignment evaluates unrolled ``getItem``
-    folds with both norms hoisted (same float op order — bit-identical
-    buckets); the corpus side is fan_out-spread first so a one-file corpus
-    does not assign on a single task."""
+    With ``dim`` set the per-row assignment hoists both norms (same float
+    op order — bit-identical buckets), the corpus side is fan_out-spread
+    first so a one-file corpus does not assign on a single task, and the
+    output CARRIES the per-vector ``_vn`` norm so :func:`ivf_search` reuses
+    it instead of re-deriving norms per scored candidate."""
     cent_arr = F.broadcast(_cent_array(centroids, dim))
     src = fan_out(corpus.select(id_col, vec_col), key=id_col)
     if dim:
@@ -245,6 +246,7 @@ def ivf_index(
         .select(
             F.col(id_col),
             F.col(vec_col),
+            *([F.col("_vn")] if dim else []),
             F.col("_best.cid").alias("bucket"),
         )
     )
@@ -353,6 +355,7 @@ def ivf_search(
         .select(
             "query_id",
             "q_vec",
+            *(["_qn"] if dim else []),
             F.explode(
                 F.transform(
                     _nearest_centroids(
@@ -367,13 +370,25 @@ def ivf_search(
             ).alias("bucket"),
         )
     )
+    # With ``dim`` the index rows carry ``_vn`` and the probes ``_qn``:
+    # score reuses both pre-computed norms — same float op order as
+    # ``cosine`` (dot / (norm(q) * norm(v))), bit-identical scores, one dot
+    # per candidate instead of three.
+    if dim and "_vn" in index.columns:
+        score = F.round(
+            _dot_auto(F.col("q_vec"), F.col(vec_col), dim)
+            / (F.col("_qn") * F.col("_vn")),
+            6,
+        )
+    else:
+        score = F.round(cosine(F.col("q_vec"), F.col(vec_col), dim), 6)
     scored = (
         index.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col(vec_col), dim), 6).alias("score"),
+            score.alias("score"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
