@@ -1814,7 +1814,7 @@ FROM preds
 def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the driver's EXACT gate: the events table
     replayed through a watermark-correct 1-hour windowed aggregation
-    (``availableNow`` finite replay, append mode, one micro-batch per file).
+    (``availableNow`` finite replay, append mode).
     Append mode only emits watermark-finalized windows, so a far-future
     sentinel row closes every real window; sentinel rows are filtered out.
     The sentinel rides in the SAME first micro-batch as the data (no
@@ -1843,22 +1843,36 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Source files are HARD-LINKED (copy2 fallback across devices) instead of
     # re-written through a coalesce(1) Spark job: the old single-threaded
     # rewrite of the whole table was ~1/3 of this row's wall and moved every
-    # byte once for nothing — the stream reads the original parquet bytes.
+    # byte once for nothing.
+    ev_ntz = _t(spark, sf_dir, "events").select(*cols)
     ev_path = os.path.join(sf_dir, "events.parquet")
     files = (
         [ev_path]
         if os.path.isfile(ev_path)
         else sorted(glob.glob(os.path.join(ev_path, "*.parquet")))
     )
+    if not files:
+        # layout the flat glob can't see (partitioned dirs, foreign
+        # suffixes): fall back to the Spark rewrite the old code used
+        ev_ntz.coalesce(1).write.parquet(src)
+        files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    else:
+        for i, f in enumerate(files):
+            dst = os.path.join(src, f"data_{i:05d}.parquet")
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+    # max(ts) from parquet footers — metadata-only, replaces a full Spark
+    # aggregation job (same micros value the agg would return). Linking
+    # above is complete for ALL files before this scan, so a stats-less
+    # file only costs the Spark fallback, never a missing source file.
     mx = None
-    for i, f in enumerate(files):
-        dst = os.path.join(src, f"data_{i:05d}.parquet")
-        try:
-            os.link(f, dst)
-        except OSError:
-            shutil.copy2(f, dst)
-        # max(ts) from parquet footers — metadata-only, replaces a full
-        # Spark aggregation job (same micros value the agg would return)
+    for f in files:
         md = pq.read_metadata(f)
         ci = md.schema.names.index("ts")
         for rg in range(md.num_row_groups):
@@ -1867,9 +1881,10 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mx = None
                 break
             mx = st.max if mx is None or st.max > mx else mx
-        if mx is None:
-            break
-    ev_ntz = _t(spark, sf_dir, "events").select(*cols)
+        else:
+            continue
+        mx = None
+        break
     if mx is None:  # stats-less files: fall back to the Spark aggregation
         mx = ev_ntz.agg(F.max("ts")).collect()[0][0]
     # Sentinel keeps the FILE schema (ts TIMESTAMP_NTZ); the instant math is
@@ -1937,6 +1952,10 @@ def q_streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # The result lives in the memory-sink table; the staged source files and
+    # checkpoint are dead weight now — remove them so repeated invocations
+    # (bench passes) don't accumulate table copies on tmpfs.
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.sql(
         f"""SELECT user_id, CAST(win.start AS TIMESTAMP_NTZ) AS bucket_start,
                    n_events, value_sum, value_min, value_max, first_value,

@@ -111,11 +111,16 @@ def outlier_dummies(
     themselves are one ``F.when`` projection each — no extra shuffle beyond
     the fence aggregation.
 
-    The fence aggregate is computed ONCE and persisted (one row per series):
-    both the distinct-outlier-dates driver decision below and the caller's
-    eventual execution of the returned frame need it, and without the
-    persist each pass re-aggregates the whole input."""
-    fences = _iqr_fences(df, key, value_col).persist()
+    The fence aggregate is computed ONCE and materialized (one row per
+    series): both the distinct-outlier-dates driver decision below and the
+    caller's eventual execution of the returned frame need it, and without
+    the materialization each pass re-aggregates the whole input.
+    localCheckpoint rather than persist: a persisted frame stays registered
+    with the CacheManager until an explicit unpersist nobody here can
+    schedule (the returned lazy frame still references it), while a
+    checkpointed RDD is released by the ContextCleaner as soon as the
+    caller drops the frame — no per-call cache leak."""
+    fences = _iqr_fences(df, key, value_col).localCheckpoint(eager=True)
     flagged = iqr_outliers(df, key=key, value_col=value_col, k=k, fences=fences)
     dates = sorted(
         r[0]

@@ -52,9 +52,21 @@ def fan_out(df: DataFrame, key: str, min_partitions: int | None = None) -> DataF
     (default ``sparkContext.defaultParallelism``). At production scale the
     scan already has hundreds of splits and this is a structural no-op: no
     shuffle is added.
+
+    Laziness note: the partition-count probe uses ``df.rdd``, which under
+    AQE EXECUTES any exchange already in the plan at build time (a real
+    Spark job, re-run again at action time). So a frame whose optimized
+    plan already contains a repartition — e.g. the output of an operator
+    that fanned out internally — is returned unchanged WITHOUT probing:
+    composition stays lazy and the double-execution cannot happen. The
+    probe only runs for exchange-free plans (scans/projections), where
+    ``.rdd`` is planning-only.
     """
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    if "Repartition" in plan or "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, F.col(key))
